@@ -1,0 +1,129 @@
+"""Model-level tests: shapes, jit, determinism, gradients, overfit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vqa_project_tpu.config import ModelConfig
+from vqa_project_tpu.models import GraphVQAModel
+from vqa_project_tpu.ops import multilabel_soft_margin_loss
+
+CFG = ModelConfig(
+    vocab_size=50, emb_dim=16, feat_dim=36, hid_dim=32, out_dim=24,
+    combined_dim=20, n_kernels=4, neighbourhood_size=5, n_obj=10,
+    dropout=0.3, max_qlen=8, compute_dtype="float32",
+)
+
+
+def make_batch(rng, b=4):
+    q = rng.integers(1, CFG.vocab_size, size=(b, CFG.max_qlen)).astype(np.int32)
+    qlen = rng.integers(1, CFG.max_qlen + 1, size=(b,)).astype(np.int32)
+    feats = rng.normal(size=(b, CFG.n_obj, CFG.feat_dim - 4)).astype(np.float32)
+    # xyxy boxes in [0,1] with x2>x1, y2>y1
+    xy1 = rng.uniform(0, 0.5, size=(b, CFG.n_obj, 2))
+    wh = rng.uniform(0.05, 0.5, size=(b, CFG.n_obj, 2))
+    boxes = np.concatenate([xy1, xy1 + wh], axis=-1).astype(np.float32)
+    image = np.concatenate([feats, boxes], axis=-1)
+    return (jnp.asarray(q), jnp.asarray(image), jnp.asarray(qlen))
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = GraphVQAModel(cfg=CFG)
+    rng = np.random.default_rng(0)
+    q, image, qlen = make_batch(rng)
+    params = model.init(jax.random.key(0), q, image, qlen)
+    return model, params
+
+
+def test_forward_shapes(model_and_params, rng):
+    model, params = model_and_params
+    q, image, qlen = make_batch(rng)
+    logits, adj, h_max_idx = model.apply(params, q, image, qlen)
+    assert logits.shape == (4, CFG.out_dim)
+    assert adj.shape == (4, CFG.n_obj, CFG.n_obj)
+    assert h_max_idx.shape == (4, CFG.hid_dim)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert np.isfinite(np.asarray(adj)).all()
+
+
+def test_forward_jit_deterministic(model_and_params, rng):
+    model, params = model_and_params
+    batch = make_batch(rng)
+    f = jax.jit(lambda p, q, i, l: model.apply(p, q, i, l)[0])
+    a = np.asarray(f(params, *batch))
+    b = np.asarray(f(params, *batch))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_adjacency_symmetric(model_and_params, rng):
+    """A = E E^T is symmetric by construction."""
+    model, params = model_and_params
+    q, image, qlen = make_batch(rng)
+    _, adj, _ = model.apply(params, q, image, qlen)
+    adj = np.asarray(adj)
+    np.testing.assert_allclose(adj, np.swapaxes(adj, 1, 2), atol=1e-4)
+
+
+def test_dropout_train_vs_eval(model_and_params, rng):
+    model, params = model_and_params
+    batch = make_batch(rng)
+    eval_logits = model.apply(params, *batch, train=False)[0]
+    train_logits = model.apply(
+        params, *batch, train=True,
+        rngs={"dropout": jax.random.key(7)})[0]
+    assert not np.allclose(np.asarray(eval_logits), np.asarray(train_logits))
+    # eval is deterministic without rngs
+    again = model.apply(params, *batch, train=False)[0]
+    np.testing.assert_array_equal(np.asarray(eval_logits), np.asarray(again))
+
+
+def test_gradients_flow_to_all_params(model_and_params, rng):
+    model, params = model_and_params
+    q, image, qlen = make_batch(rng)
+    targets = jnp.asarray(
+        rng.uniform(size=(4, CFG.out_dim)).astype(np.float32))
+
+    def loss_fn(p):
+        logits, _, _ = model.apply(p, q, image, qlen)
+        return multilabel_soft_margin_loss(logits, targets)
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    zero_grads = [
+        jax.tree_util.keystr(path)
+        for path, g in flat
+        if not np.any(np.asarray(g))
+    ]
+    assert zero_grads == [], f"params with all-zero grads: {zero_grads}"
+
+
+def test_overfit_one_batch(rng):
+    """End-to-end training sanity: loss decreases sharply on one batch."""
+    model = GraphVQAModel(cfg=CFG)
+    q, image, qlen = make_batch(rng, b=8)
+    params = model.init(jax.random.key(0), q, image, qlen)
+    # one-hot targets
+    labels = rng.integers(0, CFG.out_dim, size=(8,))
+    targets = jnp.asarray(np.eye(CFG.out_dim, dtype=np.float32)[labels])
+
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(p):
+            logits, _, _ = model.apply(p, q, image, qlen)
+            return multilabel_soft_margin_loss(logits, targets)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    first = None
+    for i in range(100):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.05 * first, (first, float(loss))

@@ -1,0 +1,85 @@
+"""Configuration for the TPU-native VQA framework.
+
+One dataclass replaces the three per-script argparse blocks of the
+reference (run.py:492-533, run_imageclef.py:245-285, run_mimic.py) while
+preserving every public flag name and default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Hyper-parameters of the conditioned-graph VQA model.
+
+    Defaults mirror the reference VQA v2 path
+    (/root/reference/run.py:503-531, sparse_graph_model.py:28-89).
+    """
+
+    vocab_size: int = 0            # set from dataset (q_words)
+    emb_dim: int = 300             # --emb
+    feat_dim: int = 2052           # 2048 RCNN + 4 bbox
+    hid_dim: int = 1024            # --hid
+    out_dim: int = 3001            # n_answers (top-3000 vocab + 1)
+    combined_dim: int = 512        # graph-learner joint embedding
+    n_kernels: int = 8             # --n_kernels
+    neighbourhood_size: int = 16   # --neighbourhood_size
+    n_obj: int = 36                # --n_obj (K region features per image)
+    dropout: float = 0.5           # --dropout
+    max_qlen: int = 16             # fixed question length after padding
+                                   # (reference seqlen is 14/15; tokens past
+                                   # qlen never reach the GRU output)
+    # Numerics policy: params + reductions fp32, matmul compute bf16.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    use_pallas: bool = True        # fused Pallas graph-aggregate kernel
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training-harness settings (reference run.py defaults)."""
+
+    lr: float = 1e-4               # --lr
+    epochs: int = 40               # --ep
+    batch_size: int = 64           # --bsize (reference default is 1; 64 is
+                                   # the documented train setting and the
+                                   # TPU-sane default)
+    lr_milestones: Tuple[int, ...] = (30,)   # MultiStepLR milestones
+    lr_gamma: float = 0.5
+    seed: int = 1000               # torch.manual_seed(1000) parity
+    log_interval: int = 40         # 40-step loss averaging
+    eval_interval: int = 400       # mid-epoch ckpt + mini-val cadence
+    data_dir: str = "./data"
+    save_dir: str = "./save"
+    plot_dir: str = "./figures"
+    name: str = "model"
+    model_path: Optional[str] = None
+    # TPU execution
+    data_axis: str = "data"        # mesh axis name for data parallelism
+    num_devices: Optional[int] = None  # None = all visible
+    donate_state: bool = True
+    prefetch: int = 2              # host->device prefetch depth
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Dataset-adapter settings."""
+
+    data_dir: str = "./data"
+    dataset: str = "vqa2"          # vqa2 | imageclef | mimic | synthetic
+    emb_dim: int = 300
+    n_obj: int = 36
+    max_qlen: int = 16
+    n_answers: int = 3000          # answer vocab size before +1
+
+
+# Presets mirroring each reference harness' argparse defaults.
+VQA2_PRESET = dict(lr=1e-4, epochs=40, dropout=0.5, n_obj=36,
+                   neighbourhood_size=16, n_kernels=8, hid_dim=1024)
+# run_imageclef.py:257-283 / run_mimic.py (medical defaults)
+MEDICAL_PRESET = dict(lr=1e-3, epochs=40, dropout=0.4, n_obj=51,
+                      neighbourhood_size=19, n_kernels=8, hid_dim=1024,
+                      batch_size=8)

@@ -1,0 +1,281 @@
+"""The conditioned-graph VQA model, TPU-native.
+
+Parity target: Model (/root/reference/sparse_graph_model.py:28-159) and its
+layers (/root/reference/layers.py). Forward returns the same triple
+(logits, adjacency_matrix, h_max_indices).
+
+Differences by design (TPU-first, not a translation):
+- packed-sequence GRU -> fixed-length masked lax.scan (ops/gru.py);
+- gather-based top-m neighbourhood -> dense masked matmul
+  (ops/neighbourhood.py, ops/graph_conv.py), optionally fused into a
+  Pallas kernel (ops/pallas/);
+- n_kernels separate nn.Linear convolutions -> one stacked contraction;
+- bf16 matmul policy with fp32 parameters and fp32 epsilon-sensitive math
+  (Gaussian weights, softmax, loss).
+
+Parameter initializers replicate torch defaults so that seeds aside, the
+two implementations start from the same distribution; exact torch
+state_dicts can be imported via models/torch_import.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_project_tpu.config import ModelConfig
+from vqa_project_tpu.ops import (
+    bbox_centres,
+    dense_neighbourhood_weights,
+    gaussian_kernel_weights,
+    graph_convolution,
+    gru_encode,
+    polar_pseudo_coords,
+    topk_edge_softmax,
+)
+
+
+def _torch_linear_init(fan_in: int):
+    """torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _uniform_init(lo: float, hi: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, lo, hi)
+
+    return init
+
+
+class WeightNormDense(nn.Module):
+    """Dense layer with torch-style weight normalization (dim=0).
+
+    w = g * v / ||v||, with the norm taken per output unit over the input
+    axis — the explicit form of nn.utils.weight_norm(nn.Linear(...)) used
+    at /root/reference/layers.py:171-172 and sparse_graph_model.py:88-89.
+    At init g = ||v|| so w == v, matching torch.
+    """
+
+    features: int
+    use_bias: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        v = self.param("v", _torch_linear_init(in_dim), (in_dim, self.features))
+
+        # g must equal ||v|| at init (torch weight_norm); the init fn
+        # closes over v, which flax has already materialized.
+        g = self.param(
+            "g",
+            lambda key, shape, dtype=jnp.float32: jnp.linalg.norm(
+                v, axis=0
+            ).astype(dtype),
+            (self.features,),
+        )
+        norm = jnp.linalg.norm(v.astype(jnp.float32), axis=0)
+        scale = (g.astype(jnp.float32) / jnp.maximum(norm, 1e-12))
+        w = v.astype(jnp.float32) * scale[None, :]
+        y = jnp.dot(
+            x.astype(self.compute_dtype),
+            w.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("b", _torch_linear_init(in_dim), (self.features,))
+            y = y + b.astype(jnp.float32)
+        return y
+
+
+class GraphLearner(nn.Module):
+    """Question-conditioned dense adjacency A = E E^T.
+
+    Parity target: GraphLearner (/root/reference/layers.py:147-197): two
+    weight-normed Linear+ReLU layers then a batched outer product.
+    """
+
+    combined_dim: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, graph_nodes: jnp.ndarray) -> jnp.ndarray:
+        h = WeightNormDense(self.combined_dim, compute_dtype=self.compute_dtype,
+                            name="edge_layer_1")(graph_nodes)
+        h = nn.relu(h)
+        h = WeightNormDense(self.combined_dim, compute_dtype=self.compute_dtype,
+                            name="edge_layer_2")(h)
+        h = nn.relu(h)
+        adj = jnp.einsum(
+            "bkc,bjc->bkj",
+            h.astype(self.compute_dtype),
+            h.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return adj
+
+
+class GaussianGraphConv(nn.Module):
+    """MoNet Gaussian-kernel graph convolution over dense edge weights.
+
+    Parity target: NeighbourhoodGraphConvolution
+    (/root/reference/layers.py:24-144), reformulated as dense matmuls.
+    """
+
+    in_dim: int
+    out_dim: int
+    n_kernels: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,          # (B, K, in_dim)
+        alpha: jnp.ndarray,             # (B, K, m) top-m softmax weights
+        idx: jnp.ndarray,               # (B, K, m) neighbour indices
+        neighbourhood_pseudo: jnp.ndarray,  # (B, K, m, 2)
+        weight_by_alpha: bool,
+    ) -> jnp.ndarray:
+        mean_rho = self.param("mean_rho", _uniform_init(0.0, 1.0),
+                              (self.n_kernels,))
+        mean_theta = self.param("mean_theta",
+                                _uniform_init(-math.pi, math.pi),
+                                (self.n_kernels,))
+        precision_rho = self.param("precision_rho", _uniform_init(0.0, 1.0),
+                                   (self.n_kernels,))
+        precision_theta = self.param("precision_theta",
+                                     _uniform_init(0.0, 1.0),
+                                     (self.n_kernels,))
+        # Stacked per-kernel projections (reference: n_kernels bias-free
+        # Linears of shape (in, out/n), layers.py:54-55).
+        conv_kernels = self.param(
+            "conv_kernels",
+            _torch_linear_init(self.in_dim),
+            (self.n_kernels, self.in_dim, self.out_dim // self.n_kernels),
+        )
+
+        gw = gaussian_kernel_weights(
+            neighbourhood_pseudo, mean_rho, mean_theta,
+            precision_rho, precision_theta,
+        )                                               # (B, K, m, n)
+        k = features.shape[1]
+        dense_w = dense_neighbourhood_weights(
+            alpha, idx, gw, k, weight_by_alpha
+        )                                               # (B, K, n, K)
+        return graph_convolution(
+            features, dense_w, conv_kernels, compute_dtype=self.compute_dtype
+        )
+
+
+class GraphVQAModel(nn.Module):
+    """Full conditioned-graph VQA forward pass.
+
+    __call__(question, image, qlen) -> (logits, adjacency, h_max_indices),
+    the same outputs as the reference Model.forward
+    (/root/reference/sparse_graph_model.py:91-159). K is static (n_obj) —
+    the reference's per-batch K sync (sparse_graph_model.py:103) is a
+    host round-trip that XLA cannot compile; shapes here are fixed.
+    """
+
+    cfg: ModelConfig
+    pretrained_wemb: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        question: jnp.ndarray,   # (B, T) int32
+        image: jnp.ndarray,      # (B, K, feat_dim)
+        qlen: jnp.ndarray,       # (B,) int32
+        *,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        cdt = jnp.dtype(cfg.compute_dtype)
+
+        # --- bbox centres from raw features, then polar pseudo-coords ---
+        bb_centre = bbox_centres(image)
+        pseudo = polar_pseudo_coords(bb_centre)          # (B, K, K, 2)
+
+        # --- feature dropout (applied to the full feat||bbox vector,
+        #     matching sparse_graph_model.py:111) ---
+        image = nn.Dropout(rate=cfg.dropout, deterministic=not train)(image)
+
+        # --- question encoding ---
+        wembed = self.param(
+            "wembed",
+            (lambda key, shape, dtype=jnp.float32:
+             jnp.asarray(self.pretrained_wemb, dtype)
+             if self.pretrained_wemb is not None
+             else jax.random.normal(key, shape, dtype)),
+            (cfg.vocab_size, cfg.emb_dim),
+        )
+        emb = jnp.take(wembed, question, axis=0)          # (B, T, E)
+        h = cfg.hid_dim
+        gru_bound = 1.0 / math.sqrt(h)
+        w_ih = self.param("gru_w_ih", _uniform_init(-gru_bound, gru_bound),
+                          (3 * h, cfg.emb_dim))
+        w_hh = self.param("gru_w_hh", _uniform_init(-gru_bound, gru_bound),
+                          (3 * h, h))
+        b_ih = self.param("gru_b_ih", _uniform_init(-gru_bound, gru_bound),
+                          (3 * h,))
+        b_hh = self.param("gru_b_hh", _uniform_init(-gru_bound, gru_bound),
+                          (3 * h,))
+        qenc = gru_encode(emb, qlen, w_ih, w_hh, b_ih, b_hh,
+                          compute_dtype=jnp.float32)      # (B, H)
+
+        # --- question-conditioned adjacency ---
+        k = image.shape[1]
+        qenc_rep = jnp.broadcast_to(qenc[:, None, :], (qenc.shape[0], k, h))
+        nodes = jnp.concatenate(
+            [image.astype(jnp.float32), qenc_rep], axis=-1
+        )                                                # (B, K, F+H)
+        adjacency = GraphLearner(
+            cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
+        )(nodes)                                         # (B, K, K)
+
+        # --- shared neighbourhood selection ---
+        alpha, idx = topk_edge_softmax(adjacency, cfg.neighbourhood_size)
+        # Gather the (tiny) pseudo-coords per selected edge: (B, K, m, 2).
+        npseudo = jnp.take_along_axis(
+            pseudo, idx[..., None], axis=2
+        )
+
+        # --- graph convolution 1 (alpha-weighted) ---
+        hg1 = GaussianGraphConv(
+            cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
+            compute_dtype=cdt, name="graph_convolution_1",
+        )(image, alpha, idx, npseudo, weight_by_alpha=True)
+        hg1 = nn.relu(hg1)
+        hg1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(hg1)
+
+        # --- graph convolution 2 (unweighted neighbours) ---
+        hg2 = GaussianGraphConv(
+            cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
+            compute_dtype=cdt, name="graph_convolution_2",
+        )(hg1, alpha, idx, npseudo, weight_by_alpha=False)
+        hg2 = nn.relu(hg2)
+
+        # --- max-pool over nodes, fuse with question ---
+        h_max_indices = jnp.argmax(hg2, axis=1)          # (B, hid)
+        pooled = jnp.max(hg2, axis=1)                    # (B, hid)
+        fused = nn.relu(qenc) * pooled
+
+        # --- weight-norm classifier ---
+        h1 = WeightNormDense(cfg.out_dim, compute_dtype=cdt,
+                             name="out_1")(fused)
+        h1 = nn.relu(h1)
+        h1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(h1)
+        logits = WeightNormDense(cfg.out_dim, compute_dtype=cdt,
+                                 name="out_2")(h1)
+
+        return logits, adjacency, h_max_indices

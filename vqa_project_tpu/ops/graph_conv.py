@@ -1,0 +1,62 @@
+"""MoNet-style graph convolution as two batched MXU matmuls.
+
+Parity target: NeighbourhoodGraphConvolution.forward/.convolution
+(/root/reference/layers.py:72-144). The reference does
+bmm(gaussian_weights^T, gathered_neighbours) followed by n_kernels small
+per-kernel Linear layers. Here the gather has already been folded into
+dense per-node weights (see neighbourhood.py), so the patch operator is
+one einsum over all K nodes, and the n_kernels Linears are one stacked
+(n_kernels, in, out/n_kernels) contraction — large, batched, MXU-shaped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def matmul_precision(compute_dtype) -> jax.lax.Precision:
+    """fp32 compute requests exact fp32 matmuls even on TPU.
+
+    TPU fp32 dots default to bf16-pass decomposition; parity/oracle paths
+    ask for fp32 and must get true fp32 (Precision.HIGHEST). bf16 compute
+    uses the default (fastest) MXU path.
+    """
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(compute_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def graph_convolution(
+    features: jnp.ndarray,
+    dense_weights: jnp.ndarray,
+    conv_kernels: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Aggregate neighbours per Gaussian kernel, then project.
+
+    Args:
+      features:      (B, K, in_dim) node features.
+      dense_weights: (B, K, n_kernels, K) dense aggregation weights from
+                     dense_neighbourhood_weights().
+      conv_kernels:  (n_kernels, in_dim, out_dim // n_kernels) stacked
+                     projection weights (reference: n_kernels bias-free
+                     nn.Linear layers, layers.py:54-55).
+    Returns:
+      (B, K, out_dim) convolved features, float32.
+    """
+    b, k, n_kernels, _ = dense_weights.shape
+    prec = matmul_precision(compute_dtype)
+    f = features.astype(compute_dtype)
+    w = dense_weights.astype(compute_dtype)
+    # Patch operator: weighted sum over all K nodes per kernel.
+    agg = jnp.einsum("binj,bjf->binf", w, f,
+                     preferred_element_type=jnp.float32,
+                     precision=prec)                      # (B,K,n,in)
+    # Stacked per-kernel projections; concat over kernels == reshape.
+    out = jnp.einsum("binf,nfd->bind", agg.astype(compute_dtype),
+                     conv_kernels.astype(compute_dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=prec)                      # (B,K,n,out/n)
+    return out.reshape(b, k, -1)

@@ -1,0 +1,51 @@
+"""Loss and metric functions.
+
+Parity targets:
+- nn.MultiLabelSoftMarginLoss with soft targets (/root/reference/run.py:165,
+  213): mean over classes, then mean over batch, of the binary
+  cross-entropy with logits.
+- total_vqa_score (/root/reference/utils.py:47-55): the official VQA metric
+  min(#votes[pred] / 3, 1) summed over the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def multilabel_soft_margin_loss(
+    logits: jnp.ndarray, targets: jnp.ndarray
+) -> jnp.ndarray:
+    """Soft-target multi-label BCE-with-logits, torch reduction semantics.
+
+    loss = mean_b mean_c [ y * softplus(-x) + (1 - y) * softplus(x) ]
+
+    which equals -(y*log sigmoid(x) + (1-y)*log sigmoid(-x)) elementwise.
+
+    Args:
+      logits:  (B, C) float.
+      targets: (B, C) soft labels in [0, 1].
+    Returns:
+      scalar float32 loss.
+    """
+    x = logits.astype(jnp.float32)
+    y = targets.astype(jnp.float32)
+    elem = y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
+    return jnp.mean(jnp.mean(elem, axis=-1))
+
+
+def vqa_score(logits: jnp.ndarray, n_votes: jnp.ndarray) -> jnp.ndarray:
+    """Summed official VQA score of the argmax predictions.
+
+    Args:
+      logits:  (B, C).
+      n_votes: (B, C) per-answer vote counts.
+    Returns:
+      scalar float32: sum over batch of min(votes[argmax]/3, 1).
+    """
+    pred = jnp.argmax(logits, axis=-1)
+    votes = jnp.take_along_axis(
+        n_votes.astype(jnp.float32), pred[:, None], axis=-1
+    )[:, 0]
+    return jnp.sum(jnp.minimum(votes / 3.0, 1.0))

@@ -1,0 +1,100 @@
+"""Top-m neighbourhood selection as dense masked edge weights.
+
+Parity target: Model._create_neighbourhood and its two gather helpers
+(/root/reference/sparse_graph_model.py:161-242).
+
+TPU-first redesign: the reference gathers per-node neighbour features into
+a (B, K, m, feat_dim) tensor and runs a batched matmul over it — a
+scatter/gather-bound layout. Here we instead scatter the per-edge scalar
+weights (top-m softmax alpha x Gaussian kernel weight) into a dense
+(B, K, n_kernels, K) weight tensor and express the whole aggregation as a
+single batched matmul against the (B, K, feat) node features, which maps
+straight onto the MXU. With K=36 and m=16 the dense matmul costs ~2.25x
+the FLOPs of the sparse gather but removes the (B, K, m, feat)
+materialization (the HBM hot spot, SURVEY.md section 7) entirely. The two
+formulations are numerically identical because scattered positions outside
+the top-m are exactly zero.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_edge_softmax(
+    adjacency: jnp.ndarray, neighbourhood_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the top-m neighbours per node and softmax their edge values.
+
+    Matches torch.topk + per-row softmax (sparse_graph_model.py:225-227;
+    the reference's Python loop over K rows is just softmax on the last
+    axis). Softmax in float32.
+
+    Args:
+      adjacency: (B, K, K) learned adjacency.
+    Returns:
+      alpha: (B, K, m) float32 softmaxed top-m edge weights.
+      idx:   (B, K, m) int32 neighbour indices.
+    """
+    vals, idx = jax.lax.top_k(adjacency.astype(jnp.float32), neighbourhood_size)
+    alpha = jax.nn.softmax(vals, axis=-1)
+    return alpha, idx
+
+
+def scatter_to_dense(
+    values: jnp.ndarray, idx: jnp.ndarray, num_nodes: int
+) -> jnp.ndarray:
+    """Scatter per-(node, neighbour-slot) values into dense per-node rows.
+
+    values[b, i, s, ...] is placed at out[b, i, idx[b, i, s], ...]; all
+    other positions are zero. Implemented as a one-hot contraction (an MXU
+    matmul) rather than a scatter: top-k indices within a row are unique,
+    so add == set.
+
+    Args:
+      values: (B, K, m) or (B, K, m, C).
+      idx:    (B, K, m) int32.
+    Returns:
+      (B, K, num_nodes) or (B, K, num_nodes, C) dense rows.
+    """
+    onehot = jax.nn.one_hot(idx, num_nodes, dtype=values.dtype)  # (B,K,m,N)
+    # precision=HIGHEST: the contraction is against exact 0/1 values, so
+    # this keeps the scatter bit-exact in fp32 even on TPU (whose default
+    # fp32 matmul truncates to bf16 passes). The op is tiny (m x N).
+    if values.ndim == 3:
+        return jnp.einsum("bkm,bkmn->bkn", values, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bkmc,bkmn->bknc", values, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def dense_neighbourhood_weights(
+    alpha: jnp.ndarray,
+    idx: jnp.ndarray,
+    gaussian_w: jnp.ndarray,
+    num_nodes: int,
+    weight_by_alpha: bool,
+) -> jnp.ndarray:
+    """Combine top-m softmax and Gaussian kernel weights into dense form.
+
+    dense[b, i, n, j] = gaussian_w[b, i, s, n] * (alpha[b, i, s] if
+    weight_by_alpha else 1) for the slot s with idx[b, i, s] == j, else 0.
+
+    weight_by_alpha=True reproduces the `weight=True` path of graph conv 1
+    (sparse_graph_model.py:239-240); False the second conv's.
+
+    Args:
+      alpha:      (B, K, m) softmaxed top-m edge weights.
+      idx:        (B, K, m) neighbour indices.
+      gaussian_w: (B, K, m, n_kernels) per-edge kernel weights.
+    Returns:
+      (B, K, n_kernels, num_nodes) dense aggregation weights (float32).
+    """
+    w = gaussian_w
+    if weight_by_alpha:
+        w = w * alpha[..., None]
+    dense = scatter_to_dense(w, idx, num_nodes)          # (B, K, N, n)
+    return jnp.swapaxes(dense, -1, -2)                   # (B, K, n, N)
