@@ -1,0 +1,105 @@
+"""Fixed-shape batching with background host prefetch.
+
+Replaces the reference's torch DataLoader + collate_fn
+(/root/reference/torch_dataset.py:27-31, run.py:132). The descending-qlen
+sort that fed pack_padded_sequence is unnecessary — the masked GRU scan
+takes any order — so batches are plain vectorized gathers from the packed
+tables. Every batch has identical shapes (jit caches one executable);
+the final partial batch is padded and carries a validity mask.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from vqa_project_tpu.data.datasets import GraphVQADataset
+
+
+class Batcher:
+    """Iterable over fixed-shape numpy batches.
+
+    Yields dicts with:
+      question (B, T) int32 | answers (B, C) f32 | votes (B, C) f32 |
+      image (B, K, F) f32 | qlen (B,) int32 | qid (B,) int64 |
+      mask (B,) f32 (0 for padding rows of the final batch) |
+      index (B,) int64 (row into dataset.vqa, for result emission)
+    """
+
+    def __init__(self, dataset: GraphVQADataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 1000,
+                 drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = self.ds.n_questions
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = self.ds.n_questions
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            rows = order[start:start + bs]
+            yield self._make_batch(rows)
+
+    def _make_batch(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
+        ds, bs = self.ds, self.batch_size
+        valid = len(rows)
+        if valid < bs:  # pad final batch to fixed shape
+            rows = np.concatenate(
+                [rows, np.zeros(bs - valid, dtype=rows.dtype)])
+        t = ds.table
+        a, v = t.dense_answers(rows)
+        mask = np.zeros((bs,), dtype=np.float32)
+        mask[:valid] = 1.0
+        return {
+            "question": t.tokens[rows],
+            "answers": a,
+            "votes": v,
+            "image": ds.store.batch(t.image_row[rows]),
+            "qlen": t.qlen[rows],
+            "qid": t.qid[rows],
+            "mask": mask,
+            "index": rows.astype(np.int64),
+        }
+
+
+def prefetch_to_device(iterator, put_fn, depth: int = 2):
+    """Wrap a host batch iterator with a background thread that stages
+    `depth` batches ahead through put_fn (e.g. a sharded jax.device_put),
+    overlapping host assembly + H2D with device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(put_fn(item))
+        except BaseException as e:  # propagate into consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
