@@ -6,14 +6,21 @@ without TPU hardware (SURVEY.md section 4). Must run before jax imports.
 
 import os
 
-# Force-set: the environment pins JAX_PLATFORMS=axon (the TPU tunnel), so
-# setdefault is not enough.
+# The image's sitecustomize.py imports jax at interpreter start (to
+# register the axon TPU plugin), so environment variables alone are read
+# too late — jax.config.update is required to switch the platform. The
+# XLA_FLAGS are still honored because the CPU backend has not been
+# initialized yet at conftest time.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

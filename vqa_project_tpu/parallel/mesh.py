@@ -1,0 +1,59 @@
+"""Device mesh construction and batch/parameter sharding.
+
+This is the net-new communication layer relative to the single-GPU
+reference (SURVEY.md section 5: DataParallel exists there only as
+commented-out code, run.py:387-390). Design:
+
+- a 1-D ``data`` mesh over all chips (v5e-8 target); batches are sharded
+  on the leading axis with NamedSharding, parameters and optimizer state
+  are replicated;
+- the train step is a plain jit over these shardings — XLA inserts the
+  gradient all-reduce (psum over ICI) automatically under SPMD, so there
+  is no hand-written collective on the data path;
+- the same code runs on 1 real TPU chip, N virtual CPU devices
+  (xla_force_host_platform_device_count) and a real pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first num_devices devices."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
+                axis: str = "data") -> Dict[str, jax.Array]:
+    """device_put a host batch with the leading axis split across chips.
+
+    The batch size must be divisible by the mesh size (the Batcher pads
+    final batches to a fixed size, so this holds by construction when
+    batch_size % n_devices == 0).
+    """
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,200 @@
+"""Training / evaluation harnesses.
+
+Parity targets: train / trainval / eval_model / test
+(/root/reference/run.py:36-473). Behavioural notes:
+
+- we follow the maintained `trainval` code path semantics (SURVEY.md
+  section 7 "quirks to NOT replicate"): scheduler steps AFTER each epoch,
+  3-output model unpack, final named checkpoint
+  vqa_{n_obj}_{n_kernels}_{neigh}_{acc:.2f};
+- the 40-step loss/accuracy averaging and the every-eval_interval
+  mini-validation of `train` mode are preserved;
+- eval/test emit the EvalAI result.json schema
+  ([{question_id, answer}], run.py:100-113).
+
+All device work is two jitted executables (train step / eval step) over a
+data mesh; the host loop only assembles batches and logs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vqa_project_tpu.config import ModelConfig, TrainConfig
+from vqa_project_tpu.data import Batcher, GraphVQADataset, prefetch_to_device
+from vqa_project_tpu.models import GraphVQAModel
+from vqa_project_tpu.parallel import make_mesh, shard_batch
+from vqa_project_tpu.train.metrics import MetricLogger
+from vqa_project_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    load_checkpoint,
+    make_optimizer,
+    save_checkpoint,
+)
+from vqa_project_tpu.train.steps import build_eval_step, build_train_step
+
+
+def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
+    """Instantiate the model with dataset-derived dims (run.py:156-163)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        model_cfg,
+        vocab_size=ds.q_words,
+        emb_dim=ds.pretrained_wemb.shape[1],
+        feat_dim=ds.feat_dim,
+        out_dim=ds.n_answers,
+        n_obj=ds.n_obj,
+        max_qlen=ds.max_qlen,
+    )
+    return GraphVQAModel(cfg=cfg, pretrained_wemb=ds.pretrained_wemb)
+
+
+def fit(
+    train_cfg: TrainConfig,
+    model_cfg: ModelConfig,
+    train_ds: GraphVQADataset,
+    val_ds: Optional[GraphVQADataset] = None,
+    *,
+    resume_path: Optional[str] = None,
+    save_every_epoch: bool = False,
+    jsonl_path: Optional[str] = None,
+) -> Tuple[GraphVQAModel, TrainState, float]:
+    """Run the training loop; returns (model, state, final epoch acc %)."""
+    mesh = make_mesh(train_cfg.num_devices, train_cfg.data_axis)
+    n_chips = mesh.devices.size
+    bs = train_cfg.batch_size
+    if bs % n_chips:
+        raise ValueError(f"batch_size {bs} not divisible by {n_chips} chips")
+
+    model = build_model(model_cfg, train_ds)
+    loader = Batcher(train_ds, bs, shuffle=True, seed=train_cfg.seed,
+                     drop_last=True)
+    steps_per_epoch = len(loader)
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    sample = next(iter(loader))
+    state = create_train_state(model, model.cfg, tx, sample, train_cfg.seed)
+    start_epoch = 0
+    if resume_path and os.path.isfile(resume_path):
+        print(f"Resuming from checkpoint {resume_path}")
+        payload, state = load_checkpoint(resume_path, state)
+        start_epoch = int(payload.get("epoch", 0))
+
+    train_step = build_train_step(model, tx, mesh)
+    eval_step = build_eval_step(model, mesh) if val_ds is not None else None
+    val_iter = None
+    if val_ds is not None:
+        val_iter = _infinite_batches(
+            Batcher(val_ds, bs, shuffle=True, seed=train_cfg.seed + 1))
+
+    logger = MetricLogger(train_cfg.log_interval, jsonl_path,
+                          n_chips=n_chips, batch_size=bs)
+    put = lambda b: shard_batch(b, mesh, train_cfg.data_axis)
+
+    epoch_acc = 0.0
+    for ep in range(start_epoch, start_epoch + train_cfg.epochs):
+        ep_loss, ep_score, n_steps = 0.0, 0.0, 0
+        for batch in prefetch_to_device(iter(loader), put,
+                                        train_cfg.prefetch):
+            state, m = train_step(state, batch)
+            loss = float(m["loss"])
+            score = float(m["score"])
+            ep_loss += loss
+            ep_score += score
+            n_steps += 1
+            logger.update(epoch=ep, step=int(state.step), loss=loss,
+                          score=score)
+
+            if (val_iter is not None and train_cfg.eval_interval
+                    and n_steps % train_cfg.eval_interval == 0):
+                acc = _mini_validation(eval_step, state.params, val_iter,
+                                       put, bs)
+                print(f"Validation accuracy: {acc:.2f} %", flush=True)
+                _save_epoch_ckpt(train_cfg, state, ep)
+
+        epoch_loss = ep_loss / max(n_steps, 1)
+        epoch_acc = 100.0 * ep_score / max(n_steps * bs, 1)
+        print("Epoch %02d done, average loss: %.3f, average accuracy: "
+              "%.2f%%" % (ep + 1, epoch_loss, epoch_acc), flush=True)
+        if save_every_epoch:
+            _save_epoch_ckpt(train_cfg, state, ep)
+    logger.close()
+    return model, state, epoch_acc
+
+
+def _save_epoch_ckpt(cfg: TrainConfig, state: TrainState, ep: int):
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    # epoch records the NEXT epoch to run, matching the reference's resume
+    # contract (run.py:179 start_ep = ckpt['epoch'] with epoch saved as
+    # ep + 1).
+    save_checkpoint(
+        os.path.join(cfg.save_dir, f"{cfg.name}_{ep + 1}.ckpt"),
+        state, epoch=ep + 1)
+
+
+def _infinite_batches(batcher: Batcher):
+    while True:
+        yield from batcher
+
+
+def _mini_validation(eval_step, params, val_iter, put, bs,
+                     n_batches: int = 10) -> float:
+    """10-batch random-subset validation (run.py:248-259)."""
+    correct = 0.0
+    for _ in range(n_batches):
+        batch = put(next(val_iter))
+        _, score, _ = eval_step(params, batch)
+        correct += float(score)
+    return correct / (n_batches * bs) * 100.0
+
+
+def evaluate(
+    model: GraphVQAModel,
+    params,
+    ds: GraphVQADataset,
+    batch_size: int,
+    *,
+    result_path: Optional[str] = "result.json",
+    num_devices: Optional[int] = None,
+    data_axis: str = "data",
+    collect_adjacency: bool = False,
+) -> Tuple[float, List[dict]]:
+    """Sequential full-split evaluation producing the EvalAI result list
+    and the VQA accuracy (run.py:36-114 / 274-341)."""
+    mesh = make_mesh(num_devices, data_axis)
+    eval_step = build_eval_step(model, mesh)
+    loader = Batcher(ds, batch_size, shuffle=False)
+    put = lambda b: shard_batch(b, mesh, data_axis)
+
+    result: List[dict] = []
+    adjacencies: List[np.ndarray] = []
+    correct = 0.0
+    for batch in prefetch_to_device(iter(loader), put, 2):
+        preds, score, adjacency = eval_step(params, batch)
+        correct += float(score)
+        preds = np.asarray(preds)
+        mask = np.asarray(batch["mask"])
+        qids = np.asarray(batch["qid"])
+        for i in range(len(preds)):
+            if mask[i] > 0:
+                result.append({
+                    "question_id": int(qids[i]),
+                    "answer": ds.a_itow[int(preds[i])],
+                })
+        if collect_adjacency:
+            adjacencies.append(np.asarray(adjacency))
+
+    acc = correct / ds.n_questions * 100.0
+    if result_path:
+        with open(result_path, "w") as f:
+            json.dump(result, f)
+    if collect_adjacency:
+        return acc, result, adjacencies
+    return acc, result

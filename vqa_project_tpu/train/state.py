@@ -1,0 +1,124 @@
+"""Train state, LR schedule, and checkpointing.
+
+Checkpoint parity targets (/root/reference):
+- the single canonical checkpoint replaces the reference's two coexisting
+  formats (full dict in run.py:176-181 vs bare state_dict in utils.py:44);
+  it always carries params + opt state + step/epoch + rng + config;
+- reference filename convention `vqa_{n_obj}_{n_kernels}_{neigh}_{acc}.pt`
+  (run.py:469-470) is preserved by the harnesses;
+- PyTorch state_dicts from the reference can be imported for parity
+  validation via models/torch_import.py.
+
+Serialization is flax msgpack in a single file — no external service, safe
+to torch-free environments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqa_project_tpu.config import ModelConfig, TrainConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray        # scalar int32
+    rng: jax.Array           # PRNG key (dropout)
+
+
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    """MultiStepLR equivalent: lr * gamma at each milestone epoch
+    (reference run.py:188: milestones=[30], gamma=0.5)."""
+    boundaries = {
+        int(m) * steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones
+    }
+    return optax.piecewise_constant_schedule(cfg.lr, boundaries)
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """Adam with the MultiStep schedule (run.py:172,188). torch Adam
+    defaults (betas 0.9/0.999, eps 1e-8) match optax."""
+    sched = make_lr_schedule(cfg, max(steps_per_epoch, 1))
+    return optax.adam(learning_rate=sched)
+
+
+def create_train_state(model, model_cfg: ModelConfig, tx,
+                       sample_batch: Dict[str, np.ndarray],
+                       seed: int = 1000) -> TrainState:
+    init_rng, drop_rng = jax.random.split(jax.random.key(seed))
+    params = model.init(
+        init_rng,
+        jnp.asarray(sample_batch["question"]),
+        jnp.asarray(sample_batch["image"]),
+        jnp.asarray(sample_batch["qlen"]),
+    )
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=drop_rng,
+    )
+
+
+# ---------------- checkpoint IO ----------------
+
+def save_checkpoint(path: str, state: TrainState, *,
+                    epoch: int = 0, extra: Optional[dict] = None) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "rng": jax.device_get(jax.random.key_data(state.rng)),
+        "extra": extra or {},
+    }
+    def to_np(x):
+        # leave python scalars/strings alone; msgpack handles them natively
+        if isinstance(x, (str, bytes, int, float, bool)) or x is None:
+            return x
+        return np.asarray(x)
+
+    blob = flax.serialization.msgpack_serialize(
+        jax.tree.map(to_np, _to_pure(payload)))
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_checkpoint(path: str, state: Optional[TrainState] = None
+                    ) -> Tuple[dict, Optional[TrainState]]:
+    """Load a checkpoint; if a template TrainState is given, restore into
+    it (shape-checked) and return (payload, new_state)."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    new_state = None
+    if state is not None:
+        params = flax.serialization.from_state_dict(
+            state.params, payload["params"])
+        opt_state = flax.serialization.from_state_dict(
+            state.opt_state, payload["opt_state"])
+        rng = jax.random.wrap_key_data(jnp.asarray(payload["rng"]))
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.asarray(payload["step"], jnp.int32),
+            rng=rng,
+        )
+    return payload, new_state
+
+
+def _to_pure(tree):
+    """Convert optax NamedTuples etc. into plain serializable containers."""
+    return flax.serialization.to_state_dict(tree)
