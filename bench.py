@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: VQA v2 training throughput (QA-pairs/sec/chip).
+
+Runs the REAL training step (full conditioned-graph model at VQA v2
+dimensions: 2048+4-d features, K=36 regions, hid 1024, 3001 answers,
+GloVe-300 GRU, 8 Gaussian kernels, neighbourhood 16, Adam + soft-margin
+loss) over the packed ingest path on synthetic data with real shapes, and
+reports steady-state QA-pairs/sec/chip end-to-end (host batch assembly +
+H2D + step).
+
+Baseline: the PyTorch reference publishes no throughput numbers
+(BASELINE.md). vs_baseline is computed against an estimated 1000
+QA-pairs/sec for the reference's single-GPU training loop — a generous
+estimate given its per-step host syncs (loss.item(), K sync at
+sparse_graph_model.py:103), per-item python zarr reads across 4 workers,
+and per-kernel python-loop Linears. The BASELINE.json target is >=5x.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REFERENCE_BASELINE_QA_PER_SEC = 1000.0  # estimated; see module docstring
+
+
+def main():
+    import jax
+
+    from vqa_project_tpu.config import ModelConfig, TrainConfig
+    from vqa_project_tpu.data import Batcher, GraphVQADataset
+    from vqa_project_tpu.data.loader import prefetch_to_device
+    from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+    from vqa_project_tpu.parallel import make_mesh, shard_batch
+    from vqa_project_tpu.train.loop import build_model
+    from vqa_project_tpu.train.state import create_train_state, make_optimizer
+    from vqa_project_tpu.train.steps import build_train_step
+
+    n_chips = len(jax.devices())
+    bsize = int(os.environ.get("BENCH_BSIZE", 128)) * n_chips
+
+    # synthetic dataset at real VQA v2 dimensions
+    data_dir = os.environ.get("BENCH_DATA_DIR")
+    if not data_dir:
+        data_dir = os.path.join(tempfile.gettempdir(), "vqa_bench_data")
+    if not os.path.exists(os.path.join(data_dir, "train_q_dict.p")):
+        print("generating synthetic benchmark dataset...", file=sys.stderr)
+        generate_synthetic_vqa(
+            data_dir, n_images=96, n_questions=max(4 * bsize, 4096),
+            n_obj=36, feat_dim=2048, q_vocab=13_000, n_answers=3000,
+            seed=7)
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=36, max_qlen=16)
+
+    from vqa_project_tpu.parallel import replicate
+    from vqa_project_tpu.train.loop import make_feature_cache
+
+    mcfg = ModelConfig(compute_dtype="bfloat16")
+    tcfg = TrainConfig(batch_size=bsize)
+    model = build_model(mcfg, ds)
+    mesh = make_mesh()
+    cache = make_feature_cache(ds, mesh, tcfg)
+    loader = Batcher(ds, bsize, shuffle=True, drop_last=True,
+                     materialize=cache is None)
+    tx = make_optimizer(tcfg, len(loader))
+    sample = next(iter(Batcher(ds, bsize)))
+    state = create_train_state(model, model.cfg, tx, sample, seed=0)
+    state = replicate(state, mesh)
+    train_step = build_train_step(model, tx, mesh, feature_cache=cache,
+                                  n_answers=ds.n_answers)
+    put = lambda b: shard_batch(b, mesh)
+
+    # warmup: compile + 3 steps (fetch a value — block_until_ready does
+    # not track true completion through the axon tunnel)
+    it = prefetch_to_device(iter(loader), put, 2)
+    for i, batch in enumerate(it):
+        state, m = train_step(state, batch)
+        if i >= 2:
+            break
+    _ = float(m["loss"])
+
+    # timed: full epochs end-to-end (host assembly + H2D + step)
+    target_steps = int(os.environ.get("BENCH_STEPS", 100))
+    done = 0
+    t0 = time.perf_counter()
+    while done < target_steps:
+        for batch in prefetch_to_device(iter(loader), put, 2):
+            state, m = train_step(state, batch)
+            done += 1
+            if done >= target_steps:
+                break
+    _ = float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    qa_per_sec = target_steps * bsize / dt
+    per_chip = qa_per_sec / n_chips
+    print(f"steps={target_steps} bsize={bsize} chips={n_chips} "
+          f"time={dt:.3f}s loss={float(m['loss']):.4f} "
+          f"total={qa_per_sec:.0f} qa/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "vqa2_train_qa_pairs_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "QA-pairs/sec/chip",
+        "vs_baseline": round(per_chip / REFERENCE_BASELINE_QA_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""VQA v2 CLI: train / trainval / eval / test.
+
+Parity target: /root/reference/run.py:476-533. Every public flag name is
+preserved (--train/--trainval/--eval/--test, --lr, --ep, --bsize,
+--n_kernels, --hid, --emb, --neighbourhood_size, --n_obj, --data_dir,
+--save_dir, --plot_dir, --log_interval, --name, --dropout, --model_path),
+with TPU additions (--num_devices, --compute_dtype, --no_pallas,
+--synthetic) that do not collide with the reference surface.
+
+Deliberate divergences from the reference defaults (documented per
+SURVEY.md section 7 "quirks"): --trainval defaults to False here (the
+reference's default=True makes a bare `python run.py` silently start a
+40-epoch training run); --bsize defaults to 64 (the reference's 1 is not
+its documented training setting); --model_path has no baked-in checkpoint
+filename.
+
+Unknown arguments raise, matching run.py:478-479.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from vqa_project_tpu.config import ModelConfig, TrainConfig
+from vqa_project_tpu.data import GraphVQADataset
+
+
+def input_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Conditional Graph Convolutions for VQA (TPU-native)")
+    parser.add_argument("--train", action="store_true", default=False,
+                        help="set this to training mode.")
+    parser.add_argument("--trainval", action="store_true", default=False,
+                        help="set this to train+val mode.")
+    parser.add_argument("--eval", action="store_true", default=False,
+                        help="set this to evaluation mode.")
+    parser.add_argument("--test", action="store_true", default=False,
+                        help="set this to test mode.")
+    parser.add_argument("--lr", metavar="", type=float, default=1e-4,
+                        help="initial learning rate")
+    parser.add_argument("--ep", metavar="", type=int, default=40,
+                        help="number of epochs.")
+    parser.add_argument("--bsize", metavar="", type=int, default=64,
+                        help="batch size.")
+    parser.add_argument("--n_kernels", type=int, default=8,
+                        help="number of Gaussian kernels.")
+    parser.add_argument("--hid", metavar="", type=int, default=1024,
+                        help="hidden dimension")
+    parser.add_argument("--emb", metavar="", type=int, default=300,
+                        help="question embedding dimension")
+    parser.add_argument("--neighbourhood_size", type=int, default=16,
+                        help="number of graph neighbours to consider")
+    parser.add_argument("--n_obj", type=int, default=36,
+                        help="number of boxes per image")
+    parser.add_argument("--data_dir", metavar="", type=str, default="./data",
+                        help="path to data directory")
+    parser.add_argument("--save_dir", type=str, default="./save")
+    parser.add_argument("--plot_dir", type=str, default="./figures")
+    parser.add_argument("--log_interval", type=int, default=40)
+    parser.add_argument("--eval_interval", type=int, default=400)
+    parser.add_argument("--name", metavar="", type=str, default="model",
+                        help="model name")
+    parser.add_argument("--dropout", metavar="", type=float, default=0.5,
+                        help="dropout probability")
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="trained model path.")
+    # TPU-native additions
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="chips to use (default: all)")
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="disable fused Pallas kernels")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="run on a generated synthetic mini-dataset")
+    parser.add_argument("--seed", type=int, default=1000)
+    args, unparsed = parser.parse_known_args(argv)
+    return args, parser, unparsed
+
+
+def make_configs(args):
+    mcfg = ModelConfig(
+        emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
+        neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
+        dropout=args.dropout, compute_dtype=args.compute_dtype,
+        use_pallas=not args.no_pallas)
+    tcfg = TrainConfig(
+        lr=args.lr, epochs=args.ep, batch_size=args.bsize,
+        log_interval=args.log_interval, eval_interval=args.eval_interval,
+        data_dir=args.data_dir, save_dir=args.save_dir,
+        plot_dir=args.plot_dir, name=args.name, model_path=args.model_path,
+        num_devices=args.num_devices, seed=args.seed)
+    return mcfg, tcfg
+
+
+def _dataset(args, split):
+    if args.synthetic:
+        from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+
+        sdir = os.path.join(args.data_dir, "synthetic")
+        if not os.path.exists(os.path.join(sdir, "train_q_dict.p")):
+            generate_synthetic_vqa(sdir, with_test=True, n_obj=args.n_obj)
+        return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
+    return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
+
+
+def train(args):
+    """Train-split mode with periodic mini-validation (run.py:117-272)."""
+    from vqa_project_tpu.train.loop import fit
+
+    mcfg, tcfg = make_configs(args)
+    print("Loading data")
+    train_ds = _dataset(args, "train")
+    val_ds = _dataset(args, "val")
+    _print_params(train_ds, args)
+    fit(tcfg, mcfg, train_ds, val_ds,
+        resume_path=args.model_path, save_every_epoch=True,
+        jsonl_path=os.path.join(args.save_dir, "metrics.jsonl"))
+
+
+def trainval(args):
+    """Train on train+val, save the final named checkpoint
+    (run.py:344-473; filename convention run.py:469-470)."""
+    from vqa_project_tpu.train.loop import fit
+    from vqa_project_tpu.train.state import save_checkpoint
+
+    mcfg, tcfg = make_configs(args)
+    print("Loading data")
+    ds = _dataset(args, "trainval")
+    _print_params(ds, args)
+    model, state, acc = fit(
+        tcfg, mcfg, ds, resume_path=args.model_path,
+        jsonl_path=os.path.join(args.save_dir, "metrics.jsonl"))
+    os.makedirs(args.save_dir, exist_ok=True)
+    name = (f"vqa_{args.n_obj}_{args.n_kernels}_"
+            f"{args.neighbourhood_size}_{acc:.2f}.pt")
+    save_checkpoint(os.path.join(args.save_dir, name), state,
+                    epoch=tcfg.epochs,
+                    extra={"accuracy": acc, "config": vars(args)})
+    print(f"Saved {name}")
+
+
+def eval_model(args):
+    """Validation accuracy + EvalAI result.json (run.py:36-114)."""
+    acc = _run_eval(args, split="val", compute_acc=True)
+    print("accuracy: {} %".format(acc))
+    print("Validation done")
+
+
+def test(args):
+    """Test-split result.json for EvalAI (run.py:274-341)."""
+    _run_eval(args, split="test", compute_acc=False)
+    print("Testing done")
+
+
+def _run_eval(args, split, compute_acc):
+    from vqa_project_tpu.train.loop import build_model, evaluate
+    from vqa_project_tpu.train.state import load_checkpoint
+
+    if not (args.model_path and os.path.isfile(args.model_path)):
+        raise SystemExit("Need to provide model path.")
+    print("Resuming from checkpoint %s" % args.model_path)
+    mcfg, tcfg = make_configs(args)
+    print("Loading data")
+    ds = _dataset(args, split)
+    _print_params(ds, args)
+    model = build_model(mcfg, ds)
+    payload, _ = load_checkpoint(args.model_path)
+    import flax
+
+    # restore into a freshly-initialized template for shape checking
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_project_tpu.data import Batcher
+
+    sample = next(iter(Batcher(ds, 2)))
+    params = model.init(jax.random.key(0),
+                        jnp.asarray(sample["question"]),
+                        jnp.asarray(sample["image"]),
+                        jnp.asarray(sample["qlen"]))
+    params = flax.serialization.from_state_dict(params, payload["params"])
+    acc, _ = evaluate(model, params, ds, args.bsize,
+                      result_path="result.json",
+                      num_devices=args.num_devices)
+    return acc
+
+
+def _print_params(ds, args):
+    print("Parameters:\n\t"
+          "vocab size: %d\n\tembedding dim: %d\n\tfeature dim: %d"
+          "\n\thidden dim: %d\n\toutput dim: %d" % (
+              ds.q_words, args.emb, ds.feat_dim, args.hid, ds.n_answers))
+
+
+def main(argv=None):
+    args, parser, unparsed = input_args(argv)
+    if len(unparsed) != 0:
+        raise SystemExit("Unknown argument: {}".format(unparsed))
+    ran = False
+    if args.train:
+        train(args)
+        ran = True
+    if args.trainval:
+        trainval(args)
+        ran = True
+    if args.eval:
+        eval_model(args)
+        ran = True
+    if args.test:
+        test(args)
+        ran = True
+    if not ran:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,11 @@ class TrainConfig:
     num_devices: Optional[int] = None  # None = all visible
     donate_state: bool = True
     prefetch: int = 2              # host->device prefetch depth
+    # device-resident feature cache: used when the packed feature table
+    # fits under this budget; otherwise batches stream dense features
+    # from host. The cache removes ~40 MB/batch of H2D traffic.
+    device_cache_bytes: int = 8 << 30
+    feature_cache_dtype: str = "float32"   # 'bfloat16' halves HBM + H2D
 
 
 @dataclasses.dataclass

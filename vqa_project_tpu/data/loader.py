@@ -31,11 +31,16 @@ class Batcher:
 
     def __init__(self, dataset: GraphVQADataset, batch_size: int,
                  shuffle: bool = False, seed: int = 1000,
-                 drop_last: bool = False):
+                 drop_last: bool = False, materialize: bool = True):
+        """materialize=True yields dense image/answers/votes arrays (host
+        mode); False yields index batches (image_row + sparse label
+        entries) for device-cache mode, shrinking the per-batch H2D volume
+        by ~1000x."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.materialize = materialize
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -62,19 +67,26 @@ class Batcher:
             rows = np.concatenate(
                 [rows, np.zeros(bs - valid, dtype=rows.dtype)])
         t = ds.table
-        a, v = t.dense_answers(rows)
         mask = np.zeros((bs,), dtype=np.float32)
         mask[:valid] = 1.0
-        return {
+        batch = {
             "question": t.tokens[rows],
-            "answers": a,
-            "votes": v,
-            "image": ds.store.batch(t.image_row[rows]),
             "qlen": t.qlen[rows],
             "qid": t.qid[rows],
             "mask": mask,
             "index": rows.astype(np.int64),
         }
+        if self.materialize:
+            a, v = t.dense_answers(rows)
+            batch.update(
+                answers=a, votes=v,
+                image=ds.store.batch(t.image_row[rows]))
+        else:
+            batch.update(
+                image_row=t.image_row[rows],
+                ans_idx=t.ans_idx[rows], ans_score=t.ans_score[rows],
+                vote_idx=t.vote_idx[rows], vote_val=t.vote_val[rows])
+        return batch
 
 
 def prefetch_to_device(iterator, put_fn, depth: int = 2):

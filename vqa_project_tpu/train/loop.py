@@ -29,7 +29,7 @@ import numpy as np
 from vqa_project_tpu.config import ModelConfig, TrainConfig
 from vqa_project_tpu.data import Batcher, GraphVQADataset, prefetch_to_device
 from vqa_project_tpu.models import GraphVQAModel
-from vqa_project_tpu.parallel import make_mesh, shard_batch
+from vqa_project_tpu.parallel import make_mesh, replicate, shard_batch
 from vqa_project_tpu.train.metrics import MetricLogger
 from vqa_project_tpu.train.state import (
     TrainState,
@@ -57,6 +57,29 @@ def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
     return GraphVQAModel(cfg=cfg, pretrained_wemb=ds.pretrained_wemb)
 
 
+def make_feature_cache(ds: GraphVQADataset, mesh,
+                       train_cfg: TrainConfig):
+    """Device-resident (features, boxes) cache when it fits in the budget;
+    None otherwise (host streaming mode)."""
+    import jax.numpy as jnp
+
+    store = ds.store
+    dtype = np.dtype(train_cfg.feature_cache_dtype)
+    nbytes = (store.features.size * dtype.itemsize + store.boxes.nbytes)
+    if nbytes > train_cfg.device_cache_bytes:
+        print(f"feature table {nbytes / 1e9:.1f} GB exceeds device cache "
+              "budget; streaming features from host", flush=True)
+        return None
+    feats = np.asarray(store.features)
+    if dtype != np.float32:
+        feats = feats.astype(dtype)
+    cache = (
+        replicate(jnp.asarray(feats), mesh),
+        replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
+    )
+    return cache
+
+
 def fit(
     train_cfg: TrainConfig,
     model_cfg: ModelConfig,
@@ -75,24 +98,33 @@ def fit(
         raise ValueError(f"batch_size {bs} not divisible by {n_chips} chips")
 
     model = build_model(model_cfg, train_ds)
+    cache = make_feature_cache(train_ds, mesh, train_cfg)
     loader = Batcher(train_ds, bs, shuffle=True, seed=train_cfg.seed,
-                     drop_last=True)
+                     drop_last=True, materialize=cache is None)
     steps_per_epoch = len(loader)
     tx = make_optimizer(train_cfg, steps_per_epoch)
-    sample = next(iter(loader))
+    sample = next(iter(Batcher(train_ds, bs)))
     state = create_train_state(model, model.cfg, tx, sample, train_cfg.seed)
     start_epoch = 0
     if resume_path and os.path.isfile(resume_path):
         print(f"Resuming from checkpoint {resume_path}")
         payload, state = load_checkpoint(resume_path, state)
         start_epoch = int(payload.get("epoch", 0))
+    state = replicate(state, mesh)
 
-    train_step = build_train_step(model, tx, mesh)
-    eval_step = build_eval_step(model, mesh) if val_ds is not None else None
+    train_step = build_train_step(model, tx, mesh, feature_cache=cache,
+                                  n_answers=train_ds.n_answers)
+    eval_step = None
     val_iter = None
     if val_ds is not None:
+        # val shares the train feature store for 'train' mode (same zarr)
+        val_cache = cache if val_ds.store is train_ds.store else \
+            make_feature_cache(val_ds, mesh, train_cfg)
+        eval_step = build_eval_step(model, mesh, feature_cache=val_cache,
+                                    n_answers=val_ds.n_answers)
         val_iter = _infinite_batches(
-            Batcher(val_ds, bs, shuffle=True, seed=train_cfg.seed + 1))
+            Batcher(val_ds, bs, shuffle=True, seed=train_cfg.seed + 1,
+                    materialize=val_cache is None))
 
     logger = MetricLogger(train_cfg.log_interval, jsonl_path,
                           n_chips=n_chips, batch_size=bs)
@@ -101,16 +133,26 @@ def fit(
     epoch_acc = 0.0
     for ep in range(start_epoch, start_epoch + train_cfg.epochs):
         ep_loss, ep_score, n_steps = 0.0, 0.0, 0
+        window = []  # device scalars; fetched once per log window to
+        #              avoid a ~20 ms blocking D2H per step
         for batch in prefetch_to_device(iter(loader), put,
                                         train_cfg.prefetch):
             state, m = train_step(state, batch)
-            loss = float(m["loss"])
-            score = float(m["score"])
-            ep_loss += loss
-            ep_score += score
+            window.append(m)
             n_steps += 1
-            logger.update(epoch=ep, step=int(state.step), loss=loss,
-                          score=score)
+
+            if len(window) >= logger.log_interval:
+                losses = np.asarray([w["loss"] for w in window],
+                                    dtype=np.float64)
+                scores = np.asarray([w["score"] for w in window],
+                                    dtype=np.float64)
+                ep_loss += float(losses.sum())
+                ep_score += float(scores.sum())
+                logger.log_window(epoch=ep, step=int(state.step),
+                                  loss_sum=float(losses.sum()),
+                                  score_sum=float(scores.sum()),
+                                  n=len(window))
+                window = []
 
             if (val_iter is not None and train_cfg.eval_interval
                     and n_steps % train_cfg.eval_interval == 0):
@@ -119,6 +161,9 @@ def fit(
                 print(f"Validation accuracy: {acc:.2f} %", flush=True)
                 _save_epoch_ckpt(train_cfg, state, ep)
 
+        if window:
+            ep_loss += float(np.sum([float(w["loss"]) for w in window]))
+            ep_score += float(np.sum([float(w["score"]) for w in window]))
         epoch_loss = ep_loss / max(n_steps, 1)
         epoch_acc = 100.0 * ep_score / max(n_steps * bs, 1)
         print("Epoch %02d done, average loss: %.3f, average accuracy: "
@@ -169,19 +214,28 @@ def evaluate(
     """Sequential full-split evaluation producing the EvalAI result list
     and the VQA accuracy (run.py:36-114 / 274-341)."""
     mesh = make_mesh(num_devices, data_axis)
-    eval_step = build_eval_step(model, mesh)
-    loader = Batcher(ds, batch_size, shuffle=False)
+    from vqa_project_tpu.config import TrainConfig as _TC
+
+    cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size))
+    params = replicate(params, mesh)
+    eval_step = build_eval_step(model, mesh, feature_cache=cache,
+                                n_answers=ds.n_answers)
+    loader = Batcher(ds, batch_size, shuffle=False,
+                     materialize=cache is None)
     put = lambda b: shard_batch(b, mesh, data_axis)
 
     result: List[dict] = []
     adjacencies: List[np.ndarray] = []
     correct = 0.0
-    for batch in prefetch_to_device(iter(loader), put, 2):
+    # keep the host copy alongside the device batch: qid/mask are read on
+    # host, and a D2H fetch through the tunnel costs ~20 ms each
+    put_pair = lambda b: (b, put(b))
+    for host_batch, batch in prefetch_to_device(iter(loader), put_pair, 2):
         preds, score, adjacency = eval_step(params, batch)
         correct += float(score)
         preds = np.asarray(preds)
-        mask = np.asarray(batch["mask"])
-        qids = np.asarray(batch["qid"])
+        mask = host_batch["mask"]
+        qids = host_batch["qid"]
         for i in range(len(preds)):
             if mask[i] > 0:
                 result.append({

@@ -41,6 +41,17 @@ class MetricLogger:
         self._count += 1
         if self._count % self.log_interval:
             return
+        self._flush(epoch, step, lr)
+
+    def log_window(self, *, epoch: int, step: int, loss_sum: float,
+                   score_sum: float, n: int, lr: Optional[float] = None):
+        """Record a pre-aggregated window of n steps (single D2H fetch)."""
+        self._loss += loss_sum
+        self._score += score_sum
+        self._count += n
+        self._flush(epoch, step, lr)
+
+    def _flush(self, epoch: int, step: int, lr: Optional[float] = None):
         dt = time.perf_counter() - self._t0
         steps_per_sec = self._count / max(dt, 1e-9)
         qa_per_sec = steps_per_sec * self.batch_size

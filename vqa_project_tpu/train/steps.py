@@ -1,47 +1,126 @@
 """Jitted train/eval steps over a data-parallel mesh.
 
-The step functions are plain jit with sharding-annotated inputs: batches
-arrive split on the batch axis, state replicated; under SPMD XLA inserts
-the gradient all-reduce over ICI. Donation of the state avoids a full
-parameter copy per step.
+Sharding model: computation follows data. Batches are device_put with a
+batch-axis NamedSharding, state is replicated onto the mesh once; jit
+infers the SPMD partitioning and inserts the gradient all-reduce over ICI.
+(Explicit in_shardings/out_shardings are deliberately NOT passed: on the
+axon-tunneled backend they trigger a per-call resharding slow path —
+~50x step latency — while inferred shardings run at full speed.)
+
+State donation is mandatory on this backend: without it every step leaks
+a full parameter+optimizer copy through the tunnel.
+
+Ingest modes:
+- device-cache mode (default when the feature table fits in HBM): region
+  features + boxes are resident on device; the host sends only token ids,
+  lengths and SPARSE answer/vote entries per batch (~KB instead of ~40 MB
+  at batch 128), and the step gathers features and densifies labels
+  on-chip. This is what makes the tunnel/H2D bottleneck disappear.
+- host mode: the batch already carries dense image/answers/votes arrays
+  (used when the table exceeds HBM).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from vqa_project_tpu.ops import multilabel_soft_margin_loss, vqa_score
-from vqa_project_tpu.parallel import batch_sharding, replicated_sharding
+from vqa_project_tpu.ops import multilabel_soft_margin_loss
 from vqa_project_tpu.train.state import TrainState
 
 
-def build_train_step(model, tx, mesh) -> Callable:
+def densify_labels(idx: jnp.ndarray, val: jnp.ndarray,
+                   n_classes: int) -> jnp.ndarray:
+    """Scatter sparse (B, S) index/value label entries into dense (B, C).
+
+    Mirrors QuestionTable.dense_answers (host) on device; pad entries
+    point at column n_classes-1 which is cleared afterwards (the unused
+    '+1' answer slot, torch_dataset.py:54,117).
+    """
+    b = idx.shape[0]
+    dense = jnp.zeros((b, n_classes), jnp.float32)
+    ar = jnp.arange(b)[:, None]
+    dense = dense.at[ar, idx].set(val.astype(jnp.float32))
+    return dense.at[:, n_classes - 1].set(0.0)
+
+
+def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
+                     vote_val: jnp.ndarray,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Official VQA score from SPARSE vote entries: min(votes[pred]/3, 1).
+
+    Avoids materializing the (B, 3001) votes tensor entirely.
+    """
+    pred = jnp.argmax(logits, axis=-1).astype(vote_idx.dtype)
+    hit = (vote_idx == pred[:, None]).astype(jnp.float32)
+    picked = jnp.sum(hit * vote_val.astype(jnp.float32), axis=-1)
+    score = jnp.minimum(picked / 3.0, 1.0)
+    if mask is not None:
+        score = score * mask
+    return jnp.sum(score)
+
+
+def _assemble_inputs(batch: Dict[str, jax.Array],
+                     features: Optional[jax.Array],
+                     boxes: Optional[jax.Array],
+                     n_answers: Optional[int]):
+    """Return (question, image, qlen, answers_fn, votes) for either mode."""
+    if features is None:
+        return (batch["question"], batch["image"], batch["qlen"],
+                lambda: batch["answers"],
+                lambda logits, mask=None: sparse_or_dense_score(
+                    logits, batch, mask))
+    rows = batch["image_row"]
+    f = jnp.take(features, rows, axis=0)
+    b = jnp.take(boxes, rows, axis=0)
+    image = jnp.concatenate([f.astype(jnp.float32), b], axis=-1)
+    return (batch["question"], image, batch["qlen"],
+            lambda: densify_labels(batch["ans_idx"], batch["ans_score"],
+                                   n_answers),
+            lambda logits, mask=None: sparse_vqa_score(
+                logits, batch["vote_idx"], batch["vote_val"], mask))
+
+
+def sparse_or_dense_score(logits, batch, mask=None):
+    """Dense-mode score helper (host mode carries dense votes)."""
+    pred = jnp.argmax(logits, axis=-1)
+    votes = batch["votes"].astype(jnp.float32)
+    picked = jnp.take_along_axis(votes, pred[:, None], axis=-1)[:, 0]
+    score = jnp.minimum(picked / 3.0, 1.0)
+    if mask is not None:
+        score = score * mask
+    return jnp.sum(score)
+
+
+def build_train_step(model, tx, mesh,
+                     feature_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                     n_answers: Optional[int] = None) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
-    metrics = {'loss': scalar, 'score': summed vqa score} — both already
-    reduced across the whole (global) batch.
+    feature_cache: optional (features, boxes) device-resident arrays for
+    device-cache mode; batches then carry image_row / sparse labels.
     """
-    rep = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    del mesh  # sharding is carried by the arguments
+    features, boxes = feature_cache if feature_cache else (None, None)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, drop_rng = jax.random.split(state.rng)
+        question, image, qlen, answers_fn, score_fn = _assemble_inputs(
+            batch, features, boxes, n_answers)
+        answers = answers_fn()
 
         def loss_fn(params):
             logits, _, _ = model.apply(
-                params, batch["question"], batch["image"], batch["qlen"],
+                params, question, image, qlen,
                 train=True, rngs={"dropout": drop_rng})
-            loss = multilabel_soft_margin_loss(logits, batch["answers"])
-            score = vqa_score(logits, batch["votes"])
-            return loss, score
+            return multilabel_soft_margin_loss(logits, answers), logits
 
-        (loss, score), grads = jax.value_and_grad(
+        (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        score = score_fn(logits)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = TrainState(
@@ -49,41 +128,25 @@ def build_train_step(model, tx, mesh) -> Callable:
             step=state.step + 1, rng=rng)
         return new_state, {"loss": loss, "score": score}
 
-    batch_spec = {
-        "question": bsh, "answers": bsh, "votes": bsh, "image": bsh,
-        "qlen": bsh, "qid": bsh, "mask": bsh, "index": bsh,
-    }
-    return jax.jit(
-        step,
-        in_shardings=(rep, batch_spec),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
+    # donate only the state: batches are read host-side after the step
+    # (qid/mask for result emission) and are tiny in device-cache mode.
+    return jax.jit(step, donate_argnums=(0,))
 
 
-def build_eval_step(model, mesh) -> Callable:
-    """Returns eval_step(params, batch) -> (predictions, score).
-
-    predictions: (B,) int32 argmax answer ids (valid rows only matter);
-    score: masked summed vqa score for the batch.
-    """
-    rep = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+def build_eval_step(model, mesh,
+                    feature_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                    n_answers: Optional[int] = None) -> Callable:
+    """Returns eval_step(params, batch) -> (preds, score, adjacency)."""
+    del mesh
+    features, boxes = feature_cache if feature_cache else (None, None)
 
     def step(params, batch):
+        question, image, qlen, _, score_fn = _assemble_inputs(
+            batch, features, boxes, n_answers)
         logits, adjacency, _ = model.apply(
-            params, batch["question"], batch["image"], batch["qlen"],
-            train=False)
+            params, question, image, qlen, train=False)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        votes = batch["votes"].astype(jnp.float32)
-        picked = jnp.take_along_axis(votes, preds[:, None].astype(jnp.int32),
-                                     axis=-1)[:, 0]
-        score = jnp.sum(jnp.minimum(picked / 3.0, 1.0) * batch["mask"])
+        score = score_fn(logits, batch["mask"])
         return preds, score, adjacency
 
-    batch_spec = {
-        "question": bsh, "answers": bsh, "votes": bsh, "image": bsh,
-        "qlen": bsh, "qid": bsh, "mask": bsh, "index": bsh,
-    }
-    return jax.jit(step, in_shardings=(rep, batch_spec),
-                   out_shardings=(rep, rep, rep))
+    return jax.jit(step)
