@@ -40,7 +40,7 @@ def main():
     from vqa_project_tpu.train.steps import build_train_step
 
     n_chips = len(jax.devices())
-    bsize = int(os.environ.get("BENCH_BSIZE", 128)) * n_chips
+    bsize = int(os.environ.get("BENCH_BSIZE", 256)) * n_chips
 
     # synthetic dataset at real VQA v2 dimensions
     data_dir = os.environ.get("BENCH_DATA_DIR")

@@ -31,13 +31,12 @@ import numpy as np
 from vqa_project_tpu.config import ModelConfig
 from vqa_project_tpu.ops import (
     bbox_centres,
-    dense_neighbourhood_weights,
     gaussian_kernel_weights,
-    graph_convolution,
     gru_encode,
     polar_pseudo_coords,
-    topk_edge_softmax,
 )
+from vqa_project_tpu.ops.graph_conv import masked_graph_convolution
+from vqa_project_tpu.ops.neighbourhood import masked_neighbourhood
 
 
 def _torch_linear_init(fan_in: int):
@@ -141,10 +140,8 @@ class GaussianGraphConv(nn.Module):
     def __call__(
         self,
         features: jnp.ndarray,          # (B, K, in_dim)
-        alpha: jnp.ndarray,             # (B, K, m) top-m softmax weights
-        idx: jnp.ndarray,               # (B, K, m) neighbour indices
-        neighbourhood_pseudo: jnp.ndarray,  # (B, K, m, 2)
-        weight_by_alpha: bool,
+        selection: jnp.ndarray,         # (B, K, K) alpha or 0/1 mask
+        pseudo: jnp.ndarray,            # (B, K, K, 2) polar pseudo-coords
     ) -> jnp.ndarray:
         mean_rho = self.param("mean_rho", _uniform_init(0.0, 1.0),
                               (self.n_kernels,))
@@ -165,15 +162,12 @@ class GaussianGraphConv(nn.Module):
         )
 
         gw = gaussian_kernel_weights(
-            neighbourhood_pseudo, mean_rho, mean_theta,
+            pseudo, mean_rho, mean_theta,
             precision_rho, precision_theta,
-        )                                               # (B, K, m, n)
-        k = features.shape[1]
-        dense_w = dense_neighbourhood_weights(
-            alpha, idx, gw, k, weight_by_alpha
-        )                                               # (B, K, n, K)
-        return graph_convolution(
-            features, dense_w, conv_kernels, compute_dtype=self.compute_dtype
+        )                                               # (B, K, K, n)
+        edge_w = gw * selection[..., None]              # zero off-neighbourhood
+        return masked_graph_convolution(
+            features, edge_w, conv_kernels, compute_dtype=self.compute_dtype
         )
 
 
@@ -230,8 +224,11 @@ class GraphVQAModel(nn.Module):
                           (3 * h,))
         b_hh = self.param("gru_b_hh", _uniform_init(-gru_bound, gru_bound),
                           (3 * h,))
+        # GRU matmuls follow the compute policy (hidden state itself stays
+        # fp32 inside gru_encode; bf16 weights cost ~4e-3 abs error on the
+        # final hidden state and ~30% of the scan time).
         qenc = gru_encode(emb, qlen, w_ih, w_hh, b_ih, b_hh,
-                          compute_dtype=jnp.float32)      # (B, H)
+                          compute_dtype=cdt)              # (B, H)
 
         # --- question-conditioned adjacency ---
         k = image.shape[1]
@@ -243,18 +240,14 @@ class GraphVQAModel(nn.Module):
             cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
         )(nodes)                                         # (B, K, K)
 
-        # --- shared neighbourhood selection ---
-        alpha, idx = topk_edge_softmax(adjacency, cfg.neighbourhood_size)
-        # Gather the (tiny) pseudo-coords per selected edge: (B, K, m, 2).
-        npseudo = jnp.take_along_axis(
-            pseudo, idx[..., None], axis=2
-        )
+        # --- shared neighbourhood selection (dense masked form) ---
+        alpha, mask = masked_neighbourhood(adjacency, cfg.neighbourhood_size)
 
-        # --- graph convolution 1 (alpha-weighted) ---
+        # --- graph convolution 1 (alpha-weighted neighbours) ---
         hg1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
             compute_dtype=cdt, name="graph_convolution_1",
-        )(image, alpha, idx, npseudo, weight_by_alpha=True)
+        )(image, alpha, pseudo)
         hg1 = nn.relu(hg1)
         hg1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(hg1)
 
@@ -262,7 +255,7 @@ class GraphVQAModel(nn.Module):
         hg2 = GaussianGraphConv(
             cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
             compute_dtype=cdt, name="graph_convolution_2",
-        )(hg1, alpha, idx, npseudo, weight_by_alpha=False)
+        )(hg1, mask, pseudo)
         hg2 = nn.relu(hg2)
 
         # --- max-pool over nodes, fuse with question ---

@@ -60,3 +60,42 @@ def graph_convolution(
                      preferred_element_type=jnp.float32,
                      precision=prec)                      # (B,K,n,out/n)
     return out.reshape(b, k, -1)
+
+
+def masked_graph_convolution(
+    features: jnp.ndarray,
+    edge_weights: jnp.ndarray,
+    conv_kernels: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Project-then-aggregate graph convolution over dense edge weights.
+
+    Algebraically identical to graph_convolution (the two matmuls
+    commute: W (X P) == (W X) P), but projecting each node's features
+    through the per-kernel matrices FIRST shrinks the intermediate from
+    (B, K, n, in_dim) to (B, K, n, out/n) — ~8x less HBM traffic for the
+    2052-d conv-1 input — and the aggregation becomes a tiny K x K
+    batched matmul.
+
+    Args:
+      features:     (B, K, in_dim) node features.
+      edge_weights: (B, K, K, n_kernels) dense combined weights
+                    (gaussian x alpha/mask; zero outside the top-m
+                    neighbourhood).
+      conv_kernels: (n_kernels, in_dim, out_dim // n_kernels).
+    Returns:
+      (B, K, out_dim) float32.
+    """
+    b, k = features.shape[:2]
+    prec = matmul_precision(compute_dtype)
+    proj = jnp.einsum("bjf,nfd->bjnd", features.astype(compute_dtype),
+                      conv_kernels.astype(compute_dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=prec)                     # (B,K,n,d)
+    out = jnp.einsum("bijn,bjnd->bind",
+                     edge_weights.astype(compute_dtype),
+                     proj.astype(compute_dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=prec)                      # (B,K,n,d)
+    return out.reshape(b, k, -1)

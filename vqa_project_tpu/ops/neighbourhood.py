@@ -71,6 +71,36 @@ def scatter_to_dense(
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def masked_neighbourhood(
+    adjacency: jnp.ndarray, neighbourhood_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-m neighbourhood as a dense mask + dense masked softmax.
+
+    The fully-dense reformulation of topk_edge_softmax + gather + scatter:
+    instead of producing indices, compute the m-th largest value per row
+    and build a (B, K, K) selection mask; the per-row softmax over the m
+    selected entries equals a -inf-masked softmax over all K (identical
+    values on selected positions, exact zeros elsewhere). No gather, no
+    scatter, no integer indices — pure VPU/MXU-friendly dense ops.
+
+    Semantics match torch.topk + softmax (sparse_graph_model.py:225-227)
+    except tie-breaking: if several entries tie exactly at the threshold,
+    all of them are selected (the reference picks an arbitrary m of them).
+    Ties between learned fp32 adjacency scores are measure-zero.
+
+    Returns:
+      alpha: (B, K, K) float32 — softmaxed edge weights, 0 outside top-m.
+      mask:  (B, K, K) float32 — 1.0 on selected edges.
+    """
+    adj = adjacency.astype(jnp.float32)
+    top_vals, _ = jax.lax.top_k(adj, neighbourhood_size)
+    thr = top_vals[..., -1:]                            # m-th largest
+    mask = (adj >= thr).astype(jnp.float32)
+    neg_inf = jnp.asarray(-jnp.inf, adj.dtype)
+    alpha = jax.nn.softmax(jnp.where(mask > 0, adj, neg_inf), axis=-1)
+    return alpha, mask
+
+
 def dense_neighbourhood_weights(
     alpha: jnp.ndarray,
     idx: jnp.ndarray,
