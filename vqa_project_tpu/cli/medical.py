@@ -1,0 +1,180 @@
+"""Shared grid-search harness for the medical VQA variants.
+
+Parity target: run_imageclef.py / run_mimic.py
+(/root/reference/run_imageclef.py:39-243): for every
+(neighbourhood, n_kernels) grid cell, train a FRESH model for --ep
+epochs, run a sequential full-validation inference pass, append the
+accuracy line to grid_search_nodes_{n_obj}.txt, save the per-config
+checkpoint clef/mimic_{n_obj}_{kernels}_{neigh}_{acc}.pt, and keep the
+best configuration's predictions CSV
+(image_id, question, prediction, answer).
+
+Divergence (documented): the per-config validation accuracy divides by
+the number of VALIDATION questions. The reference divides by
+n_train_batches*bsize (run_imageclef.py:201) and by 10*bsize in
+run_mimic.py:208 — both copy-paste artifacts, not meaningful averages
+(SURVEY.md section 7 "quirks to NOT replicate").
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from vqa_project_tpu.config import ModelConfig, TrainConfig
+from vqa_project_tpu.data import Batcher, GraphVQADataset
+
+
+def medical_input_args(argv=None, *, n_obj_default=51,
+                       neigh_default=19):
+    """Flag surface of run_imageclef.py:245-285 (== run_mimic's)."""
+    parser = argparse.ArgumentParser(
+        description="Conditional Graph Convolutions for VQA "
+                    "(medical, TPU-native)")
+    parser.add_argument("--train", default=True, type=bool,
+                        help="set this to training mode.")
+    parser.add_argument("--n_kernels", type=int, default=8)
+    parser.add_argument("--lr", metavar="", type=float, default=1e-3)
+    parser.add_argument("--ep", metavar="", type=int, default=40)
+    parser.add_argument("--bsize", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=1000)
+    parser.add_argument("--hid", metavar="", type=int, default=1024)
+    parser.add_argument("--emb", metavar="", type=int, default=300)
+    parser.add_argument("--neighbourhood_size", type=int,
+                        default=neigh_default)
+    parser.add_argument("--n_obj", type=int, default=n_obj_default)
+    parser.add_argument("--data_dir", metavar="", type=str, default="data")
+    parser.add_argument("--save_dir", metavar="", type=str, default="save")
+    parser.add_argument("--plot_dir", metavar="", type=str,
+                        default="figures")
+    parser.add_argument("--name", metavar="", type=str, default="gcn")
+    parser.add_argument("--dropout", metavar="", type=float, default=0.4)
+    parser.add_argument("--model_path", metavar="", type=str, default=None)
+    # TPU additions
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--neighbors_list", type=int, nargs="+",
+                        default=[16, 20, 24, 28, 32, 36])
+    parser.add_argument("--kernels_list", type=int, nargs="+",
+                        default=[4, 8, 16, 32])
+    args, unparsed = parser.parse_known_args(argv)
+    return args, parser, unparsed
+
+
+def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
+                     ) -> Tuple[List[str], float]:
+    """Full training + sequential val inference for one grid cell
+    (run_imageclef.py:39-212). Returns (csv_rows, val_acc%)."""
+    from vqa_project_tpu.train.loop import evaluate, fit
+    from vqa_project_tpu.train.state import save_checkpoint
+
+    mcfg = ModelConfig(
+        emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
+        neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
+        dropout=args.dropout, compute_dtype=args.compute_dtype)
+    tcfg = TrainConfig(
+        lr=args.lr, epochs=args.ep, batch_size=args.bsize,
+        eval_interval=0, seed=args.seed, save_dir=args.save_dir,
+        num_devices=args.num_devices, log_interval=40)
+
+    model, state, _train_acc = fit(tcfg, mcfg, train_ds)
+
+    print("Infer")
+    acc, result = evaluate(model, state.params, val_ds, args.bsize,
+                           result_path=None,
+                           num_devices=args.num_devices)
+    # predictions CSV rows: image_id,question,prediction,answer
+    # (run_imageclef.py:193-199); qid == row index in the medical jsons
+    pred_by_qid = {r["question_id"]: r["answer"] for r in result}
+    rows = []
+    for qid, pred in pred_by_qid.items():
+        row = val_ds.vqa[qid]
+        rows.append(f"{row['image_id']},{row['question']},"
+                    f"{pred},{row['answer']}")
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    name = (f"{ckpt_prefix}_{args.n_obj}_{args.n_kernels}_"
+            f"{args.neighbourhood_size}_{acc:.2f}.pt")
+    save_checkpoint(os.path.join(args.save_dir, name), state,
+                    epoch=args.ep, extra={"accuracy": acc})
+    return rows, acc
+
+
+def grid_search_main(args, parser, unparsed, *, dataset_name: str,
+                     ckpt_prefix: str):
+    """The nested grid-search driver (run_imageclef.py:216-242)."""
+    if len(unparsed) != 0:
+        raise SystemExit("Unknown argument: {}".format(unparsed))
+    if not args.train:
+        parser.print_help()
+        return
+
+    train_ds, val_ds = _load_datasets(args, dataset_name)
+
+    best_acc = 0.0
+    os.makedirs(args.plot_dir, exist_ok=True)
+    grid_path = f"grid_search_nodes_{args.n_obj}.txt"
+    with open(grid_path, "w") as f:
+        for neighbors in args.neighbors_list:
+            for kernels in args.kernels_list:
+                if kernels > args.n_obj or neighbors > args.n_obj:
+                    continue
+                args.n_kernels = kernels
+                args.neighbourhood_size = neighbors
+                print(args)
+                rows, acc = train_one_config(args, train_ds, val_ds,
+                                             ckpt_prefix)
+                line = (f"neighbors: {neighbors}, kernels: {kernels}, "
+                        f"Validation acc: {acc:.3f} %\n")
+                print(line, end="")
+                f.write(line)
+                f.flush()
+                if acc > best_acc:
+                    best_acc = acc
+                    csv_path = os.path.join(
+                        args.plot_dir,
+                        f"{ckpt_prefix}_{args.n_obj}_{acc:.2f}.csv")
+                    with open(csv_path, "w") as f2:
+                        f2.write("image_id,question,prediction,answer\n")
+                        for line2 in rows:
+                            f2.write(line2 + "\n")
+    print(f"grid search done; best acc {best_acc:.3f} % -> {grid_path}")
+
+
+def _load_datasets(args, dataset_name: str):
+    if dataset_name == "imageclef":
+        if args.synthetic:
+            from vqa_project_tpu.data.synthetic_medical import (
+                generate_synthetic_imageclef)
+
+            sdir = os.path.join(args.data_dir, "synthetic_imageclef")
+            if not os.path.exists(
+                    os.path.join(sdir, "imageclef_q_dict.p")):
+                generate_synthetic_imageclef(sdir, n_obj=args.n_obj)
+            args.data_dir = sdir
+        # train and val share the single imageclef json (reference
+        # behaviour, torch_dataset.py:197-203)
+        train_ds = GraphVQADataset.imageclef(args.data_dir, "train",
+                                             args.emb, args.n_obj)
+        return train_ds, train_ds
+    if dataset_name == "mimic":
+        if args.synthetic:
+            from vqa_project_tpu.data.synthetic_medical import (
+                generate_synthetic_mimic)
+
+            sdir = os.path.join(args.data_dir, "synthetic_mimic")
+            if not os.path.exists(
+                    os.path.join(sdir, "mimic_q_train_dict.p")):
+                generate_synthetic_mimic(sdir, n_obj=args.n_obj)
+            args.data_dir = sdir
+        train_ds = GraphVQADataset.mimic(args.data_dir, "train",
+                                         args.emb, args.n_obj)
+        val_ds = GraphVQADataset.mimic(args.data_dir, "val",
+                                       args.emb, args.n_obj)
+        return train_ds, val_ds
+    raise ValueError(dataset_name)
