@@ -1,0 +1,85 @@
+"""Interpretability-plot CLI.
+
+Parity target: /root/reference/plot.py entry (load checkpoint, run
+inference over validation batches, render adjacency figures, dump a
+predictions CSV + adjacency npz).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def input_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Plot learned graph structures (TPU-native)")
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--data_dir", type=str, default="./data")
+    parser.add_argument("--plot_dir", type=str, default="./figures")
+    parser.add_argument("--bsize", type=int, default=32)
+    parser.add_argument("--n_batches", type=int, default=4)
+    parser.add_argument("--top_nodes", type=int, default=7)
+    parser.add_argument("--split", type=str, default="val")
+    parser.add_argument("--emb", type=int, default=300)
+    parser.add_argument("--hid", type=int, default=1024)
+    parser.add_argument("--n_kernels", type=int, default=8)
+    parser.add_argument("--neighbourhood_size", type=int, default=16)
+    parser.add_argument("--n_obj", type=int, default=36)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    args, unparsed = parser.parse_known_args(argv)
+    if unparsed:
+        raise SystemExit("Unknown argument: {}".format(unparsed))
+    return args
+
+
+def main(argv=None):
+    args = input_args(argv)
+
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_project_tpu.config import ModelConfig
+    from vqa_project_tpu.data import Batcher, GraphVQADataset
+    from vqa_project_tpu.train.loop import build_model
+    from vqa_project_tpu.train.state import load_checkpoint
+    from vqa_project_tpu.viz import visualize_checkpoint
+
+    if args.synthetic:
+        from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+
+        sdir = os.path.join(args.data_dir, "synthetic")
+        if not os.path.exists(os.path.join(sdir, "train_q_dict.p")):
+            generate_synthetic_vqa(sdir, with_test=True, n_obj=args.n_obj)
+        data_dir = sdir
+    else:
+        data_dir = args.data_dir
+
+    ds = GraphVQADataset.vqa2(data_dir, args.split, args.emb, args.n_obj)
+    mcfg = ModelConfig(
+        emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
+        neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
+        dropout=args.dropout, compute_dtype=args.compute_dtype)
+    model = build_model(mcfg, ds)
+
+    payload, _ = load_checkpoint(args.model_path)
+    sample = next(iter(Batcher(ds, 2)))
+    params = model.init(jax.random.key(0),
+                        jnp.asarray(sample["question"]),
+                        jnp.asarray(sample["image"]),
+                        jnp.asarray(sample["qlen"]))
+    params = flax.serialization.from_state_dict(params, payload["params"])
+
+    out = visualize_checkpoint(
+        model, params, ds, args.plot_dir, batch_size=args.bsize,
+        n_batches=args.n_batches, top_nodes=args.top_nodes,
+        num_devices=args.num_devices)
+    print(f"figures written to {out}")
+
+
+if __name__ == "__main__":
+    main()
