@@ -1,0 +1,116 @@
+"""Torch checkpoint import + weight-norm layer parity vs torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vqa_project_tpu.config import ModelConfig
+from vqa_project_tpu.models import GraphVQAModel, WeightNormDense
+from vqa_project_tpu.models.torch_import import import_torch_state_dict
+
+
+def test_weight_norm_dense_matches_torch(rng):
+    """WeightNormDense == nn.utils.weight_norm(nn.Linear) numerically."""
+    in_dim, out_dim, b = 20, 12, 5
+    lin = torch.nn.utils.weight_norm(torch.nn.Linear(in_dim, out_dim))
+    # perturb g so the test isn't trivially w == v
+    with torch.no_grad():
+        lin.weight_g.mul_(torch.linspace(0.5, 2.0, out_dim).reshape(-1, 1))
+    x = rng.normal(size=(b, in_dim)).astype(np.float32)
+    with torch.no_grad():
+        expected = lin(torch.from_numpy(x)).numpy()
+
+    layer = WeightNormDense(out_dim, compute_dtype=jnp.float32)
+    params = {
+        "params": {
+            "v": np.asarray(lin.weight_v.detach().numpy()).T,
+            "g": lin.weight_g.detach().numpy().reshape(-1),
+            "b": lin.bias.detach().numpy(),
+        }
+    }
+    got = np.asarray(layer.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def _make_torch_state_dict(cfg: ModelConfig):
+    """Stock-torch parameter tensors with the reference's state_dict key
+    names and shapes (no reference code involved)."""
+    g = torch.Generator().manual_seed(7)
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    h, e, f, c = cfg.hid_dim, cfg.emb_dim, cfg.feat_dim, cfg.combined_dim
+    n, out = cfg.n_kernels, cfg.out_dim
+    sd = {
+        "wembed.weight": t(cfg.vocab_size, e),
+        "q_gru.weight_ih_l0": t(3 * h, e),
+        "q_gru.weight_hh_l0": t(3 * h, h),
+        "q_gru.bias_ih_l0": t(3 * h),
+        "q_gru.bias_hh_l0": t(3 * h),
+    }
+    for name, ind in (("adjacency_1.edge_layer_1", f + h),
+                      ("adjacency_1.edge_layer_2", c)):
+        sd[f"{name}.weight_g"] = torch.rand(c, 1, generator=g) + 0.5
+        sd[f"{name}.weight_v"] = t(c, ind)
+        sd[f"{name}.bias"] = t(c)
+    for conv, ind, od in (("graph_convolution_1", f, 2 * h),
+                          ("graph_convolution_2", 2 * h, h)):
+        for i in range(n):
+            sd[f"{conv}.conv_weights.{i}.weight"] = t(od // n, ind)
+        for p in ("mean_rho", "mean_theta", "precision_rho",
+                  "precision_theta"):
+            sd[f"{conv}.{p}"] = torch.rand(n, 1, generator=g)
+    for name, ind, od in (("out_1", h, out), ("out_2", out, out)):
+        sd[f"{name}.weight_g"] = torch.rand(od, 1, generator=g) + 0.5
+        sd[f"{name}.weight_v"] = t(od, ind)
+        sd[f"{name}.bias"] = t(od)
+    return sd
+
+
+def test_import_round_trips_into_model(rng):
+    from tests.test_model import CFG, make_batch
+
+    sd = _make_torch_state_dict(CFG)
+    tree = import_torch_state_dict(sd)
+
+    model = GraphVQAModel(cfg=CFG)
+    q, image, qlen = make_batch(rng)
+    init = model.init(jax.random.key(0), q, image, qlen)
+
+    # identical tree structure and shapes
+    flat_init = jax.tree_util.tree_leaves_with_path(init)
+    flat_imp = jax.tree_util.tree_leaves_with_path(tree)
+    paths_i = [jax.tree_util.keystr(p) for p, _ in flat_init]
+    paths_m = [jax.tree_util.keystr(p) for p, _ in flat_imp]
+    assert sorted(paths_i) == sorted(paths_m)
+    shapes_i = {jax.tree_util.keystr(p): v.shape for p, v in flat_init}
+    for p, v in flat_imp:
+        assert v.shape == shapes_i[jax.tree_util.keystr(p)], p
+
+    # forward runs and is finite
+    logits, adj, _ = model.apply(tree, q, image, qlen)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # weight-norm conversion preserved direction*scale: check one layer
+    w_torch = (sd["out_1.weight_g"] /
+               sd["out_1.weight_v"].norm(dim=1, keepdim=True)
+               ) * sd["out_1.weight_v"]
+    x = rng.normal(size=(3, CFG.hid_dim)).astype(np.float32)
+    expected = x @ w_torch.numpy().T + sd["out_1.bias"].numpy()
+    layer = WeightNormDense(CFG.out_dim, compute_dtype=jnp.float32)
+    got = np.asarray(layer.apply(
+        {"params": tree["params"]["out_1"]}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_full_dict_checkpoint_format():
+    """run.py:176-181 full-dict checkpoints ({'state_dict': ...}) are
+    accepted transparently."""
+    from tests.test_model import CFG
+
+    sd = _make_torch_state_dict(CFG)
+    wrapped = {"epoch": 3, "state_dict": sd, "optimizer": {}}
+    tree = import_torch_state_dict(wrapped)
+    assert tree["params"]["wembed"].shape == (CFG.vocab_size, CFG.emb_dim)

@@ -71,8 +71,8 @@ def input_args(argv=None):
                         help="chips to use (default: all)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--no_pallas", action="store_true",
-                        help="disable fused Pallas kernels")
+    parser.add_argument("--pallas", action="store_true",
+                        help="enable the fused Pallas graph kernel")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic mini-dataset")
     parser.add_argument("--seed", type=int, default=1000)
@@ -85,7 +85,7 @@ def make_configs(args):
         emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
         neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
         dropout=args.dropout, compute_dtype=args.compute_dtype,
-        use_pallas=not args.no_pallas)
+        use_pallas=args.pallas)
     tcfg = TrainConfig(
         lr=args.lr, epochs=args.ep, batch_size=args.bsize,
         log_interval=args.log_interval, eval_interval=args.eval_interval,

@@ -35,7 +35,11 @@ class ModelConfig:
     # Numerics policy: params + reductions fp32, matmul compute bf16.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
-    use_pallas: bool = True        # fused Pallas graph-aggregate kernel
+    # Fused Pallas graph-aggregate kernel (ops/pallas/edge_aggregate.py).
+    # Opt-in: numerically identical to the XLA path (tested), but the
+    # axon-tunneled dev TPU pays ~270 s of remote Mosaic compile per
+    # kernel, so the default stays off; flip on for real deployments.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass

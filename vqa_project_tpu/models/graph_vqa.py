@@ -129,17 +129,25 @@ class GaussianGraphConv(nn.Module):
 
     Parity target: NeighbourhoodGraphConvolution
     (/root/reference/layers.py:24-144), reformulated as dense matmuls.
+    With use_pallas=True the mask/softmax/Gaussian/aggregation block runs
+    as one fused Pallas kernel (ops/pallas/edge_aggregate.py); the
+    per-kernel feature projection (the big MXU matmul) stays in XLA in
+    both paths.
     """
 
     in_dim: int
     out_dim: int
     n_kernels: int
+    neighbourhood_size: int = 16
+    use_alpha: bool = True
+    use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(
         self,
         features: jnp.ndarray,          # (B, K, in_dim)
+        adjacency: jnp.ndarray,         # (B, K, K) learned adjacency
         selection: jnp.ndarray,         # (B, K, K) alpha or 0/1 mask
         pseudo: jnp.ndarray,            # (B, K, K, 2) polar pseudo-coords
     ) -> jnp.ndarray:
@@ -160,6 +168,27 @@ class GaussianGraphConv(nn.Module):
             _torch_linear_init(self.in_dim),
             (self.n_kernels, self.in_dim, self.out_dim // self.n_kernels),
         )
+
+        if self.use_pallas:
+            import jax as _jax
+
+            from vqa_project_tpu.ops.graph_conv import matmul_precision
+            from vqa_project_tpu.ops.pallas import fused_edge_aggregate
+
+            b, k = features.shape[:2]
+            proj = jnp.einsum(
+                "bjf,nfd->bjnd", features.astype(self.compute_dtype),
+                conv_kernels.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(self.compute_dtype))
+            gparams = jnp.stack([mean_rho, mean_theta,
+                                 precision_rho, precision_theta])
+            interpret = _jax.devices()[0].platform != "tpu"
+            out = fused_edge_aggregate(
+                adjacency.astype(jnp.float32), pseudo,
+                proj.reshape(b, k, -1).astype(jnp.float32), gparams,
+                self.neighbourhood_size, self.use_alpha, interpret)
+            return out
 
         gw = gaussian_kernel_weights(
             pseudo, mean_rho, mean_theta,
@@ -240,22 +269,31 @@ class GraphVQAModel(nn.Module):
             cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
         )(nodes)                                         # (B, K, K)
 
-        # --- shared neighbourhood selection (dense masked form) ---
-        alpha, mask = masked_neighbourhood(adjacency, cfg.neighbourhood_size)
+        # --- shared neighbourhood selection (dense masked form); the
+        #     fused Pallas path recomputes it in-kernel instead ---
+        if cfg.use_pallas:
+            alpha = mask = None
+        else:
+            alpha, mask = masked_neighbourhood(
+                adjacency, cfg.neighbourhood_size)
 
         # --- graph convolution 1 (alpha-weighted neighbours) ---
         hg1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
+            neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
+            use_pallas=cfg.use_pallas,
             compute_dtype=cdt, name="graph_convolution_1",
-        )(image, alpha, pseudo)
+        )(image, adjacency, alpha, pseudo)
         hg1 = nn.relu(hg1)
         hg1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(hg1)
 
         # --- graph convolution 2 (unweighted neighbours) ---
         hg2 = GaussianGraphConv(
             cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
+            neighbourhood_size=cfg.neighbourhood_size, use_alpha=False,
+            use_pallas=cfg.use_pallas,
             compute_dtype=cdt, name="graph_convolution_2",
-        )(hg1, mask, pseudo)
+        )(hg1, adjacency, mask, pseudo)
         hg2 = nn.relu(hg2)
 
         # --- max-pool over nodes, fuse with question ---
