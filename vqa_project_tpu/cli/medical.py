@@ -95,7 +95,7 @@ def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
     for qid, pred in pred_by_qid.items():
         row = val_ds.vqa[qid]
         rows.append(f"{row['image_id']},{row['question']},"
-                    f"{pred},{row['answer']}")
+                    f"{pred},{row.get('answer', '')}")
 
     os.makedirs(args.save_dir, exist_ok=True)
     name = (f"{ckpt_prefix}_{args.n_obj}_{args.n_kernels}_"

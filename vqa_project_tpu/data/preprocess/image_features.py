@@ -1,0 +1,86 @@
+"""Bottom-up-attention TSV -> zarr feature stores.
+
+Parity target: /root/reference/data/preprocess_image.py. Consumes the
+same Faster-R-CNN 36-box TSVs (image_id, image_w, image_h, num_boxes,
+boxes, features with base64-packed float32 payloads) and emits the same
+artifacts: {phase}.zarr, {phase}_boxes.zarr, {phase}_image_size.csv
+(columns = image ids, row 0 width, row 1 height).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import csv
+import os
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+from vqa_project_tpu.data.zarr_store import ZarrWriter
+
+csv.field_size_limit(sys.maxsize)
+
+FIELDNAMES = ["image_id", "image_w", "image_h",
+              "num_boxes", "boxes", "features"]
+
+DEFAULT_TSVS = {
+    "trainval": ["raw/trainval_36/"
+                 "trainval_resnet101_faster_rcnn_genome_36.tsv"],
+    "test": ["raw/test2015_36/"
+             "test2015_resnet101_faster_rcnn_genome_36.tsv"],
+}
+
+
+def features_to_zarr(phase: str, infiles: List[str] = None,
+                     out_dir: str = ".") -> None:
+    infiles = infiles or DEFAULT_TSVS.get(phase)
+    if not infiles:
+        raise SystemExit("Unrecognised phase")
+
+    boxes = ZarrWriter(os.path.join(out_dir, f"{phase}_boxes.zarr"))
+    features = ZarrWriter(os.path.join(out_dir, f"{phase}.zarr"))
+    image_size: Dict[str, tuple] = {}
+    for infile in infiles:
+        with open(infile, "r") as f:
+            reader = csv.DictReader(f, delimiter="\t",
+                                    fieldnames=FIELDNAMES)
+            print(f"Converting {infile} to zarr...")
+            for item in reader:
+                iid = str(item["image_id"])
+                n = int(item["num_boxes"])
+                arrs = {}
+                for field in ("boxes", "features"):
+                    raw = base64.decodebytes(item[field].encode("utf-8"))
+                    arrs[field] = np.frombuffer(
+                        raw, dtype=np.float32).reshape(n, -1)
+                boxes.create_dataset(iid, arrs["boxes"])
+                features.create_dataset(iid, arrs["features"])
+                image_size[iid] = (int(item["image_w"]),
+                                   int(item["image_h"]))
+
+    print("Writing image sizes csv...")
+    ids = list(image_size.keys())
+    with open(os.path.join(out_dir, f"{phase}_image_size.csv"), "w") as f:
+        f.write("," + ",".join(ids) + "\n")
+        f.write("0," + ",".join(str(image_size[i][0]) for i in ids) + "\n")
+        f.write("1," + ",".join(str(image_size[i][1]) for i in ids) + "\n")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Preprocessing for VQA v2 image data (TPU-native)")
+    p.add_argument("--data", nargs="+", default=["trainval", "test"])
+    p.add_argument("--out_dir", type=str, default=".")
+    args, unparsed = p.parse_known_args(argv)
+    if unparsed:
+        raise SystemExit(f"Unknown argument: {unparsed}")
+    for phase in args.data:
+        print("Converting features tsv to zarr file...")
+        features_to_zarr(phase, out_dir=args.out_dir)
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()
