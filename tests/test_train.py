@@ -120,3 +120,18 @@ def test_train_matches_single_device(data_dir):
     for a, b in zip(leaves1, leaves8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_step_timer_and_force_sync():
+    import jax.numpy as jnp
+
+    from vqa_project_tpu.train.profiling import StepTimer, force_sync
+
+    t = StepTimer(warmup=1, batch_size=8, n_chips=2)
+    for _ in range(4):
+        with t:
+            force_sync(jnp.ones((4,)))
+    s = t.summary()
+    assert s["steps"] == 3
+    assert s["mean_ms"] > 0
+    assert s["qa_pairs_per_sec_per_chip"] > 0
