@@ -1,0 +1,99 @@
+"""Mesh-sharded feature cache: locality batching + shard_map gather."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from vqa_project_tpu.config import ModelConfig, TrainConfig
+from vqa_project_tpu.data import Batcher, GraphVQADataset
+from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+from vqa_project_tpu.parallel import make_mesh, shard_batch
+from vqa_project_tpu.parallel.sharded_cache import ShardedFeatureCache
+from vqa_project_tpu.train.loop import fit, make_feature_cache
+
+N_OBJ, FEAT = 8, 24
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_shard")
+    generate_synthetic_vqa(str(d), n_images=20, n_questions=160,
+                           n_obj=N_OBJ, feat_dim=FEAT, q_vocab=16,
+                           n_answers=8)
+    return str(d)
+
+
+def test_partitions_cover_all_images(data_dir):
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
+    mesh = make_mesh(8)
+    cache = ShardedFeatureCache.build(ds.store, mesh)
+    parts = cache.partitions()
+    assert parts.shape == (20,)
+    assert parts.max() < 8
+    # 20 images over 8 chips with shard 3: chips own <=3 images each
+    assert np.bincount(parts, minlength=8).max() <= cache.shard_size
+
+
+def test_sharded_gather_matches_host(data_dir):
+    """The shard_map gather returns exactly the host-assembled tensor for
+    locality-consistent batches."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
+    mesh = make_mesh(8)
+    cache = ShardedFeatureCache.build(ds.store, mesh)
+    parts = cache.partitions()[ds.table.image_row]
+    loader = Batcher(ds, 16, shuffle=True, seed=3, materialize=False,
+                     partitions=parts, n_partitions=8)
+    gather = jax.jit(cache.gather_fn())
+
+    batch = next(iter(loader))
+    dev = shard_batch(batch, mesh)
+    got = np.asarray(gather(cache.features, cache.boxes,
+                            dev["image_row"]))
+    expected = ds.store.batch(batch["image_row"])
+    # padded (mask=0) rows may disagree; compare valid rows only
+    valid = batch["mask"] > 0
+    np.testing.assert_allclose(got[valid], expected[valid],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_locality_batcher_covers_every_question_once(data_dir):
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
+    mesh = make_mesh(8)
+    cache = ShardedFeatureCache.build(ds.store, mesh)
+    parts = cache.partitions()[ds.table.image_row]
+    loader = Batcher(ds, 16, shuffle=False, materialize=False,
+                     partitions=parts, n_partitions=8)
+    seen = []
+    for batch in loader:
+        seen.extend(batch["index"][batch["mask"] > 0].tolist())
+    assert sorted(seen) == list(range(ds.n_questions))
+    # locality: slice i of each batch only holds chip-i questions
+    per = 16 // 8
+    for batch in loader:
+        rows = batch["image_row"]
+        for c in range(8):
+            seg = rows[c * per:(c + 1) * per]
+            owner = seg // cache.shard_size
+            m = batch["mask"][c * per:(c + 1) * per] > 0
+            assert (owner[m] == c).all()
+
+
+def test_training_with_sharded_cache_learns(data_dir, tmp_path):
+    """End-to-end fit() with the cache forced into sharded mode."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
+    mcfg = ModelConfig(emb_dim=24, hid_dim=32, combined_dim=16,
+                       n_kernels=4, neighbourhood_size=4, dropout=0.1,
+                       max_qlen=10, compute_dtype="float32")
+    # budget below table size but above per-chip shard -> sharded mode
+    table_bytes = (np.asarray(ds.store.features).nbytes
+                   + np.asarray(ds.store.boxes).nbytes)
+    tcfg = TrainConfig(lr=5e-3, epochs=20, batch_size=32, eval_interval=0,
+                       log_interval=1000, num_devices=8,
+                       device_cache_bytes=table_bytes // 2)
+    cache = make_feature_cache(ds, make_mesh(8), tcfg)
+    assert isinstance(cache, ShardedFeatureCache)
+
+    model, state, acc = fit(tcfg, mcfg, ds)
+    assert acc > 40.0, acc

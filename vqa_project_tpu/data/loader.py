@@ -31,34 +31,89 @@ class Batcher:
 
     def __init__(self, dataset: GraphVQADataset, batch_size: int,
                  shuffle: bool = False, seed: int = 1000,
-                 drop_last: bool = False, materialize: bool = True):
+                 drop_last: bool = False, materialize: bool = True,
+                 partitions: Optional[np.ndarray] = None,
+                 n_partitions: Optional[int] = None):
         """materialize=True yields dense image/answers/votes arrays (host
         mode); False yields index batches (image_row + sparse label
         entries) for device-cache mode, shrinking the per-batch H2D volume
-        by ~1000x."""
+        by ~1000x.
+
+        partitions: optional (n_questions,) chip id per question for a
+        mesh-SHARDED feature cache (parallel/sharded_cache.py). Every
+        batch is then built so its i-th equal slice contains only chip
+        i's questions, making the feature gather communication-free.
+        Short pools are padded with repeats carrying mask=0 (eval) or
+        dropped (drop_last=True, training).
+        """
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.materialize = materialize
+        self.partitions = partitions
+        if partitions is not None:
+            # n_partitions must equal the mesh size even when some chips'
+            # images back no questions (their pools stay empty)
+            self.n_parts = n_partitions or int(partitions.max()) + 1
+            if batch_size % self.n_parts:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"{self.n_parts} cache shards")
+            self._pools = [np.flatnonzero(partitions == c)
+                           for c in range(self.n_parts)]
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
         n = self.ds.n_questions
+        if self.partitions is not None:
+            # partitioned mode always pads short pools with mask=0 rows
+            # (the train loss and scoring are mask-aware), so drop_last is
+            # ignored and every question is visited exactly once/epoch
+            per = self.batch_size // self.n_parts
+            return max(-(-len(p) // per) for p in self._pools)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
+        if self.partitions is not None:
+            yield from self._iter_partitioned()
+            return
         n = self.ds.n_questions
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-        self._epoch += 1
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
         for start in range(0, stop, bs):
             rows = order[start:start + bs]
             yield self._make_batch(rows)
+
+    def _iter_partitioned(self) -> Iterator[Dict[str, np.ndarray]]:
+        per = self.batch_size // self.n_parts
+        pools = [p.copy() for p in self._pools]
+        if self.shuffle:
+            for p in pools:
+                self._rng.shuffle(p)
+        n_batches = len(self)
+        for b in range(n_batches):
+            rows, valid = [], []
+            for p in pools:
+                seg = p[b * per:(b + 1) * per]
+                nv = len(seg)
+                if nv < per:  # pad with repeats of the pool head, mask 0
+                    filler = p[np.arange(per - nv) % max(len(p), 1)] \
+                        if len(p) else np.zeros(per - nv, np.int64)
+                    seg = np.concatenate([seg, filler])
+                rows.append(seg)
+                valid.append(nv)
+            batch = self._make_batch(np.concatenate(rows))
+            mask = np.zeros((self.batch_size,), np.float32)
+            for c, nv in enumerate(valid):
+                mask[c * per:c * per + nv] = 1.0
+            batch["mask"] = mask
+            yield batch
 
     def _make_batch(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
         ds, bs = self.ds, self.batch_size

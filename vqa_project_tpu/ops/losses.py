@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 
 def multilabel_soft_margin_loss(
-    logits: jnp.ndarray, targets: jnp.ndarray
+    logits: jnp.ndarray, targets: jnp.ndarray,
+    sample_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Soft-target multi-label BCE-with-logits, torch reduction semantics.
 
@@ -26,13 +27,23 @@ def multilabel_soft_margin_loss(
     Args:
       logits:  (B, C) float.
       targets: (B, C) soft labels in [0, 1].
+      sample_mask: optional (B,) 0/1 validity weights — padded rows of
+        locality-partitioned batches contribute nothing; with an all-ones
+        mask this reduces exactly to the unmasked mean.
     Returns:
       scalar float32 loss.
     """
     x = logits.astype(jnp.float32)
     y = targets.astype(jnp.float32)
     elem = y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
-    return jnp.mean(jnp.mean(elem, axis=-1))
+    per_sample = jnp.mean(elem, axis=-1)
+    if sample_mask is None:
+        return jnp.mean(per_sample)
+    m = sample_mask.astype(jnp.float32)
+    # where(), not multiply: padded rows may hold garbage features whose
+    # logits are inf/NaN, and 0 * inf would poison the masked mean
+    per_sample = jnp.where(m > 0, per_sample, 0.0)
+    return jnp.sum(per_sample) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def vqa_score(logits: jnp.ndarray, n_votes: jnp.ndarray) -> jnp.ndarray:

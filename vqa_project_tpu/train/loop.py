@@ -59,25 +59,49 @@ def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
 
 def make_feature_cache(ds: GraphVQADataset, mesh,
                        train_cfg: TrainConfig):
-    """Device-resident (features, boxes) cache when it fits in the budget;
-    None otherwise (host streaming mode)."""
+    """Device-resident feature cache.
+
+    Mode selection by the per-chip HBM budget (device_cache_bytes):
+    - table fits on one chip -> replicated (features, boxes) tuple;
+    - fits only divided across the mesh -> ShardedFeatureCache (image
+      axis sharded; batches must then use locality partitions);
+    - neither -> None (host streaming of dense batches).
+    """
     import jax.numpy as jnp
+
+    from vqa_project_tpu.parallel.sharded_cache import ShardedFeatureCache
 
     store = ds.store
     dtype = np.dtype(train_cfg.feature_cache_dtype)
     nbytes = (store.features.size * dtype.itemsize + store.boxes.nbytes)
-    if nbytes > train_cfg.device_cache_bytes:
-        print(f"feature table {nbytes / 1e9:.1f} GB exceeds device cache "
-              "budget; streaming features from host", flush=True)
-        return None
-    feats = np.asarray(store.features)
-    if dtype != np.float32:
-        feats = feats.astype(dtype)
-    cache = (
-        replicate(jnp.asarray(feats), mesh),
-        replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
-    )
-    return cache
+    n_chips = mesh.devices.size
+    if nbytes <= train_cfg.device_cache_bytes:
+        feats = np.asarray(store.features)
+        if dtype != np.float32:
+            feats = feats.astype(dtype)
+        return (
+            replicate(jnp.asarray(feats), mesh),
+            replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
+        )
+    if n_chips > 1 and nbytes / n_chips <= train_cfg.device_cache_bytes:
+        print(f"feature table {nbytes / 1e9:.1f} GB: sharding across "
+              f"{n_chips} chips ({nbytes / n_chips / 1e9:.1f} GB/chip)",
+              flush=True)
+        return ShardedFeatureCache.build(store, mesh,
+                                         train_cfg.data_axis, dtype)
+    print(f"feature table {nbytes / 1e9:.1f} GB exceeds device cache "
+          "budget; streaming features from host", flush=True)
+    return None
+
+
+def _locality_kwargs(cache, ds: GraphVQADataset) -> dict:
+    """Batcher kwargs for locality batching over a sharded cache."""
+    from vqa_project_tpu.parallel.sharded_cache import ShardedFeatureCache
+
+    if isinstance(cache, ShardedFeatureCache):
+        return {"partitions": cache.partitions()[ds.table.image_row],
+                "n_partitions": cache.mesh.devices.size}
+    return {}
 
 
 def fit(
@@ -100,7 +124,8 @@ def fit(
     model = build_model(model_cfg, train_ds)
     cache = make_feature_cache(train_ds, mesh, train_cfg)
     loader = Batcher(train_ds, bs, shuffle=True, seed=train_cfg.seed,
-                     drop_last=True, materialize=cache is None)
+                     drop_last=True, materialize=cache is None,
+                     **_locality_kwargs(cache, train_ds))
     steps_per_epoch = len(loader)
     tx = make_optimizer(train_cfg, steps_per_epoch)
     sample = next(iter(Batcher(train_ds, bs)))
@@ -124,7 +149,8 @@ def fit(
                                     n_answers=val_ds.n_answers)
         val_iter = _infinite_batches(
             Batcher(val_ds, bs, shuffle=True, seed=train_cfg.seed + 1,
-                    materialize=val_cache is None))
+                    materialize=val_cache is None,
+                    **_locality_kwargs(val_cache, val_ds)))
 
     logger = MetricLogger(train_cfg.log_interval, jsonl_path,
                           n_chips=n_chips, batch_size=bs)
@@ -132,9 +158,25 @@ def fit(
 
     epoch_acc = 0.0
     for ep in range(start_epoch, start_epoch + train_cfg.epochs):
-        ep_loss, ep_score, n_steps = 0.0, 0.0, 0
+        ep_loss, ep_score, ep_valid, n_steps = 0.0, 0.0, 0.0, 0
         window = []  # device scalars; fetched once per log window to
         #              avoid a ~20 ms blocking D2H per step
+
+        def flush_window():
+            nonlocal ep_loss, ep_score, ep_valid, window
+            losses = np.asarray([w["loss"] for w in window], np.float64)
+            scores = np.asarray([w["score"] for w in window], np.float64)
+            valid = np.asarray([w["valid"] for w in window], np.float64)
+            ep_loss += float(losses.sum())
+            ep_score += float(scores.sum())
+            ep_valid += float(valid.sum())
+            logger.log_window(epoch=ep, step=int(state.step),
+                              loss_sum=float(losses.sum()),
+                              score_sum=float(scores.sum()),
+                              n=len(window),
+                              examples=float(valid.sum()))
+            window = []
+
         for batch in prefetch_to_device(iter(loader), put,
                                         train_cfg.prefetch):
             state, m = train_step(state, batch)
@@ -142,17 +184,7 @@ def fit(
             n_steps += 1
 
             if len(window) >= logger.log_interval:
-                losses = np.asarray([w["loss"] for w in window],
-                                    dtype=np.float64)
-                scores = np.asarray([w["score"] for w in window],
-                                    dtype=np.float64)
-                ep_loss += float(losses.sum())
-                ep_score += float(scores.sum())
-                logger.log_window(epoch=ep, step=int(state.step),
-                                  loss_sum=float(losses.sum()),
-                                  score_sum=float(scores.sum()),
-                                  n=len(window))
-                window = []
+                flush_window()
 
             if (val_iter is not None and train_cfg.eval_interval
                     and n_steps % train_cfg.eval_interval == 0):
@@ -162,10 +194,9 @@ def fit(
                 _save_epoch_ckpt(train_cfg, state, ep)
 
         if window:
-            ep_loss += float(np.sum([float(w["loss"]) for w in window]))
-            ep_score += float(np.sum([float(w["score"]) for w in window]))
+            flush_window()
         epoch_loss = ep_loss / max(n_steps, 1)
-        epoch_acc = 100.0 * ep_score / max(n_steps * bs, 1)
+        epoch_acc = 100.0 * ep_score / max(ep_valid, 1.0)
         print("Epoch %02d done, average loss: %.3f, average accuracy: "
               "%.2f%%" % (ep + 1, epoch_loss, epoch_acc), flush=True)
         if save_every_epoch:
@@ -221,7 +252,8 @@ def evaluate(
     eval_step = build_eval_step(model, mesh, feature_cache=cache,
                                 n_answers=ds.n_answers)
     loader = Batcher(ds, batch_size, shuffle=False,
-                     materialize=cache is None)
+                     materialize=cache is None,
+                     **_locality_kwargs(cache, ds))
     put = lambda b: shard_batch(b, mesh, data_axis)
 
     result: List[dict] = []

@@ -32,6 +32,7 @@ class MetricLogger:
         self._loss = 0.0
         self._score = 0.0
         self._count = 0
+        self._examples = 0.0
         self._t0 = time.perf_counter()
 
     def update(self, *, epoch: int, step: int, loss: float, score: float,
@@ -39,16 +40,22 @@ class MetricLogger:
         self._loss += loss
         self._score += score
         self._count += 1
+        self._examples += self.batch_size
         if self._count % self.log_interval:
             return
         self._flush(epoch, step, lr)
 
     def log_window(self, *, epoch: int, step: int, loss_sum: float,
-                   score_sum: float, n: int, lr: Optional[float] = None):
-        """Record a pre-aggregated window of n steps (single D2H fetch)."""
+                   score_sum: float, n: int,
+                   examples: Optional[float] = None,
+                   lr: Optional[float] = None):
+        """Record a pre-aggregated window of n steps (single D2H fetch).
+        examples: valid sample count (defaults to n * batch_size)."""
         self._loss += loss_sum
         self._score += score_sum
         self._count += n
+        self._examples += (examples if examples is not None
+                           else n * self.batch_size)
         self._flush(epoch, step, lr)
 
     def _flush(self, epoch: int, step: int, lr: Optional[float] = None):
@@ -59,8 +66,7 @@ class MetricLogger:
             "epoch": epoch,
             "step": step,
             "loss": self._loss / self._count,
-            "vqa_acc": 100.0 * self._score / max(
-                1, self._count * self.batch_size),
+            "vqa_acc": 100.0 * self._score / max(1.0, self._examples),
             "steps_per_sec": round(steps_per_sec, 3),
             "qa_pairs_per_sec_per_chip": round(qa_per_sec / self.n_chips, 2),
         }

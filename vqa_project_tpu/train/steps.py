@@ -58,24 +58,42 @@ def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
     picked = jnp.sum(hit * vote_val.astype(jnp.float32), axis=-1)
     score = jnp.minimum(picked / 3.0, 1.0)
     if mask is not None:
-        score = score * mask
+        score = jnp.where(mask > 0, score, 0.0)
     return jnp.sum(score)
 
 
-def _assemble_inputs(batch: Dict[str, jax.Array],
-                     features: Optional[jax.Array],
-                     boxes: Optional[jax.Array],
+def make_image_fn(feature_cache):
+    """Normalize the cache argument into rows -> (B, K, F+4) or None.
+
+    feature_cache is either None (host mode), a (features, boxes) tuple
+    of replicated device arrays, or a ShardedFeatureCache (mesh-sharded
+    table + communication-free shard_map gather)."""
+    if feature_cache is None:
+        return None
+    if isinstance(feature_cache, tuple):
+        features, boxes = feature_cache
+
+        def image_fn(rows):
+            f = jnp.take(features, rows, axis=0)
+            b = jnp.take(boxes, rows, axis=0)
+            return jnp.concatenate([f.astype(jnp.float32), b], axis=-1)
+
+        return image_fn
+
+    gather = feature_cache.gather_fn()
+    features, boxes = feature_cache.features, feature_cache.boxes
+    return lambda rows: gather(features, boxes, rows)
+
+
+def _assemble_inputs(batch: Dict[str, jax.Array], image_fn,
                      n_answers: Optional[int]):
-    """Return (question, image, qlen, answers_fn, votes) for either mode."""
-    if features is None:
+    """Return (question, image, qlen, answers_fn, score_fn)."""
+    if image_fn is None:
         return (batch["question"], batch["image"], batch["qlen"],
                 lambda: batch["answers"],
                 lambda logits, mask=None: sparse_or_dense_score(
                     logits, batch, mask))
-    rows = batch["image_row"]
-    f = jnp.take(features, rows, axis=0)
-    b = jnp.take(boxes, rows, axis=0)
-    image = jnp.concatenate([f.astype(jnp.float32), b], axis=-1)
+    image = image_fn(batch["image_row"])
     return (batch["question"], image, batch["qlen"],
             lambda: densify_labels(batch["ans_idx"], batch["ans_score"],
                                    n_answers),
@@ -95,38 +113,41 @@ def sparse_or_dense_score(logits, batch, mask=None):
 
 
 def build_train_step(model, tx, mesh,
-                     feature_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                     feature_cache=None,
                      n_answers: Optional[int] = None) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
-    feature_cache: optional (features, boxes) device-resident arrays for
-    device-cache mode; batches then carry image_row / sparse labels.
+    feature_cache: None (host mode), a (features, boxes) replicated
+    tuple, or a ShardedFeatureCache; with a cache, batches carry
+    image_row / sparse labels instead of dense tensors.
     """
     del mesh  # sharding is carried by the arguments
-    features, boxes = feature_cache if feature_cache else (None, None)
+    image_fn = make_image_fn(feature_cache)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, drop_rng = jax.random.split(state.rng)
         question, image, qlen, answers_fn, score_fn = _assemble_inputs(
-            batch, features, boxes, n_answers)
+            batch, image_fn, n_answers)
         answers = answers_fn()
 
         def loss_fn(params):
             logits, _, _ = model.apply(
                 params, question, image, qlen,
                 train=True, rngs={"dropout": drop_rng})
-            return multilabel_soft_margin_loss(logits, answers), logits
+            return multilabel_soft_margin_loss(
+                logits, answers, batch["mask"]), logits
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        score = score_fn(logits)
+        score = score_fn(logits, batch["mask"])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = TrainState(
             params=params, opt_state=opt_state,
             step=state.step + 1, rng=rng)
-        return new_state, {"loss": loss, "score": score}
+        return new_state, {"loss": loss, "score": score,
+                           "valid": jnp.sum(batch["mask"])}
 
     # donate only the state: batches are read host-side after the step
     # (qid/mask for result emission) and are tiny in device-cache mode.
@@ -134,15 +155,15 @@ def build_train_step(model, tx, mesh,
 
 
 def build_eval_step(model, mesh,
-                    feature_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                    feature_cache=None,
                     n_answers: Optional[int] = None) -> Callable:
     """Returns eval_step(params, batch) -> (preds, score, adjacency)."""
     del mesh
-    features, boxes = feature_cache if feature_cache else (None, None)
+    image_fn = make_image_fn(feature_cache)
 
     def step(params, batch):
         question, image, qlen, _, score_fn = _assemble_inputs(
-            batch, features, boxes, n_answers)
+            batch, image_fn, n_answers)
         logits, adjacency, _ = model.apply(
             params, question, image, qlen, train=False)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
