@@ -135,3 +135,25 @@ def test_step_timer_and_force_sync():
     assert s["steps"] == 3
     assert s["mean_ms"] > 0
     assert s["qa_pairs_per_sec_per_chip"] > 0
+
+
+def test_async_checkpoint(data_dir, tmp_path):
+    from vqa_project_tpu.train.state import (
+        async_save_checkpoint,
+        wait_for_async_saves,
+    )
+
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    model = build_model(MODEL_CFG, ds)
+    tx = make_optimizer(TrainConfig(), 10)
+    sample = next(iter(Batcher(ds, 8)))
+    state = create_train_state(model, model.cfg, tx, sample, seed=1)
+
+    path = str(tmp_path / "async.ckpt")
+    async_save_checkpoint(path, state, epoch=2)
+    wait_for_async_saves()
+    payload, restored = load_checkpoint(path, state)
+    assert payload["epoch"] == 2
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -104,3 +104,18 @@ def test_visualize_checkpoint_end_to_end(tmp_path):
     assert "adjacencies.npz" in files
     assert "summary.json" in files
     assert sum(f.endswith(".jpg") for f in files) == 6  # n_questions in val
+
+
+def test_cv2_renderer(tmp_path, rng):
+    from vqa_project_tpu.viz.cv2_plots import plot_boxes
+
+    k = 9
+    xy1 = rng.uniform(0, 0.5, size=(k, 2))
+    wh = rng.uniform(0.05, 0.4, size=(k, 2))
+    boxes = np.concatenate([xy1, xy1 + wh], axis=-1)
+    adj = rng.uniform(size=(k, k)).astype(np.float32)
+    path = str(tmp_path / "cv2fig.jpg")
+    img = plot_boxes(boxes, adj, caption="what is this? pred: cat",
+                     path=path)
+    assert img.shape == (480, 640, 3)
+    assert os.path.getsize(path) > 3_000

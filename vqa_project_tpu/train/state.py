@@ -73,6 +73,38 @@ def create_train_state(model, model_cfg: ModelConfig, tx,
 
 # ---------------- checkpoint IO ----------------
 
+_ASYNC_SAVES: list = []
+
+
+def async_save_checkpoint(path: str, state: TrainState, *,
+                          epoch: int = 0,
+                          extra: Optional[dict] = None) -> None:
+    """Non-blocking checkpoint save: device_get happens on the caller
+    (cheap handles; real D2H overlaps), serialization + disk write run in
+    a daemon thread so the train loop keeps stepping. Call
+    wait_for_async_saves() before exiting."""
+    import threading
+
+    host_state = TrainState(
+        params=jax.device_get(state.params),
+        opt_state=jax.device_get(state.opt_state),
+        step=jax.device_get(state.step),
+        rng=state.rng,
+    )
+    th = threading.Thread(
+        target=save_checkpoint,
+        args=(path, host_state),
+        kwargs=dict(epoch=epoch, extra=extra),
+        daemon=True)
+    th.start()
+    _ASYNC_SAVES.append(th)
+
+
+def wait_for_async_saves() -> None:
+    while _ASYNC_SAVES:
+        _ASYNC_SAVES.pop().join()
+
+
 def save_checkpoint(path: str, state: TrainState, *,
                     epoch: int = 0, extra: Optional[dict] = None) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
