@@ -80,3 +80,54 @@ def test_model_pallas_matches_xla(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(logits_x), np.asarray(logits_p),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_gru_matches_xla(rng):
+    from vqa_project_tpu.ops import gru_encode
+    from vqa_project_tpu.ops.pallas import gru_encode_pallas
+
+    b, t, e, h = 4, 9, 12, 16
+    emb = rng.normal(size=(b, t, e)).astype(np.float32)
+    qlen = np.array([9, 1, 5, 7], dtype=np.int32)
+    params = [
+        (rng.normal(size=s) * 0.2).astype(np.float32)
+        for s in [(3 * h, e), (3 * h, h), (3 * h,), (3 * h,)]
+    ]
+    want = np.asarray(gru_encode(
+        jnp.asarray(emb), jnp.asarray(qlen), *map(jnp.asarray, params),
+        compute_dtype=jnp.float32))
+    got = np.asarray(gru_encode_pallas(
+        jnp.asarray(emb), jnp.asarray(qlen), *map(jnp.asarray, params),
+        compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_gru_gradients_match(rng):
+    from vqa_project_tpu.ops import gru_encode
+    from vqa_project_tpu.ops.pallas import gru_encode_pallas
+
+    b, t, e, h = 3, 6, 8, 12
+    emb = rng.normal(size=(b, t, e)).astype(np.float32)
+    qlen = np.array([6, 2, 4], dtype=np.int32)
+    params = [
+        (rng.normal(size=s) * 0.2).astype(np.float32)
+        for s in [(3 * h, e), (3 * h, h), (3 * h,), (3 * h,)]
+    ]
+    jp = list(map(jnp.asarray, params))
+
+    def loss_x(emb_, w_ih, w_hh, b_ih, b_hh):
+        out = gru_encode(emb_, jnp.asarray(qlen), w_ih, w_hh, b_ih, b_hh,
+                         compute_dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    def loss_p(emb_, w_ih, w_hh, b_ih, b_hh):
+        out = gru_encode_pallas(emb_, jnp.asarray(qlen), w_ih, w_hh,
+                                b_ih, b_hh, compute_dtype=jnp.float32,
+                                interpret=True)
+        return jnp.sum(out ** 2)
+
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(jnp.asarray(emb), *jp)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(jnp.asarray(emb), *jp)
+    for a, b_ in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

@@ -254,10 +254,20 @@ class GraphVQAModel(nn.Module):
         b_hh = self.param("gru_b_hh", _uniform_init(-gru_bound, gru_bound),
                           (3 * h,))
         # GRU matmuls follow the compute policy (hidden state itself stays
-        # fp32 inside gru_encode; bf16 weights cost ~4e-3 abs error on the
-        # final hidden state and ~30% of the scan time).
-        qenc = gru_encode(emb, qlen, w_ih, w_hh, b_ih, b_hh,
-                          compute_dtype=cdt)              # (B, H)
+        # fp32; bf16 weights cost ~4e-3 abs error on the final hidden
+        # state and ~30% of the scan time). With use_pallas the whole
+        # recurrence runs as one VMEM-resident Pallas kernel.
+        if cfg.use_pallas:
+            import jax as _jax
+
+            from vqa_project_tpu.ops.pallas import gru_encode_pallas
+
+            qenc = gru_encode_pallas(
+                emb, qlen, w_ih, w_hh, b_ih, b_hh, compute_dtype=cdt,
+                interpret=_jax.devices()[0].platform != "tpu")
+        else:
+            qenc = gru_encode(emb, qlen, w_ih, w_hh, b_ih, b_hh,
+                              compute_dtype=cdt)          # (B, H)
 
         # --- question-conditioned adjacency ---
         k = image.shape[1]

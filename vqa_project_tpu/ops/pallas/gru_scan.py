@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: full GRU sequence scan in one kernel.
+
+The XLA lax.scan GRU (ops/gru.py) round-trips the (B, H) hidden state
+through HBM and pays loop overhead on every one of the T steps. This
+kernel keeps the hidden state, the (H, 3H) recurrence weights and the
+biases resident in VMEM across the whole sequence: grid=(T,), the xp
+block is the only tensor streamed per step.
+
+The input projection xp[t] = emb[t] @ W_ih^T + b_ih stays in XLA (one
+big MXU matmul over all timesteps, ops/gru.py does the same).
+
+Gate math matches torch.nn.GRU exactly (see ops/gru.py); masking freezes
+the hidden state at each sequence's true length, so the final state
+equals the packed-sequence result.
+
+custom_vjp: the forward also emits the per-step hidden states hs, and
+the backward is a hand-derived reverse-time scan (XLA) over the saved
+hs — no forward recompute. Gradient equations:
+
+    hp = h_prev @ Wt + b,  r = s(xr+hr), z = s(xz+hz), n = tanh(xn + r*hn)
+    h = (1-z)*n + z*h_prev,  h_out = keep ? h : h_prev
+
+    g_new = keep ? gh : 0 ;  pass = keep ? 0 : gh
+    dz = g_new*(h_prev - n)            dn = g_new*(1-z)
+    dn_pre = dn*(1-n^2)                dr = dn_pre*hn
+    dhn = dn_pre*r                     dr_pre = dr*r*(1-r)
+    dz_pre = dz*z*(1-z)                dhp = [dr_pre; dz_pre; dhn]
+    dxp = [dr_pre; dz_pre; dn_pre]
+    dh_prev = pass + g_new*z + dhp @ Wt^T
+    dWt += h_prev^T @ dhp ;  db += sum_b dhp
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_kernel(qlen_ref, xp_ref, w_ref, b_ref,
+                hfinal_ref, hs_ref, h_scr):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    h_prev = h_scr[:]                                  # (B, H) f32
+    xp_t = xp_ref[0]                                   # (B, 3H) f32
+    hp = jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:],
+                 preferred_element_type=jnp.float32) + b_ref[0]
+    h = h_prev.shape[1]
+    xr, xz, xn = xp_t[:, :h], xp_t[:, h:2 * h], xp_t[:, 2 * h:]
+    hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h_prev
+    keep = qlen_ref[:] > t                             # (B, 1)
+    h_out = jnp.where(keep, h_new, h_prev)
+    h_scr[:] = h_out
+    hs_ref[0] = h_out
+
+    @pl.when(t == n_t - 1)
+    def _():
+        hfinal_ref[:] = h_out
+
+
+def _pallas_forward(xp, w_t, b, qlen, interpret):
+    t, bsz, h3 = xp.shape
+    h = h3 // 3
+    qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
+    b2 = b.reshape(1, h3).astype(jnp.float32)
+    return pl.pallas_call(
+        _gru_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((bsz, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, h3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bsz, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, bsz, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bsz, h), jnp.float32)],
+        interpret=interpret,
+    )(qlen2, xp.astype(jnp.float32), w_t, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_gru(xp, w_t, b, qlen, interpret=False):
+    """GRU sequence scan; returns the final hidden state (B, H).
+
+    Args:
+      xp:   (T, B, 3H) precomputed input projections (incl. b_ih).
+      w_t:  (H, 3H) transposed hidden weights (torch weight_hh_l0.T),
+            any float dtype (bf16 recommended for the MXU).
+      b:    (3H,) hidden bias b_hh.
+      qlen: (B,) true sequence lengths.
+    """
+    h_final, _ = _pallas_forward(xp, w_t, b, qlen, interpret)
+    return h_final
+
+
+def _fwd(xp, w_t, b, qlen, interpret):
+    h_final, hs = _pallas_forward(xp, w_t, b, qlen, interpret)
+    return h_final, (xp, w_t, b, qlen, hs)
+
+
+def _bwd(interpret, res, gh_final):
+    del interpret
+    xp, w_t, b, qlen, hs = res
+    t, bsz, h3 = xp.shape
+    h = h3 // 3
+    w32 = w_t.astype(jnp.float32)
+    b32 = b.astype(jnp.float32).reshape(1, h3)
+    qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
+
+    # h_prev at step t is hs[t-1] (zeros at t=0)
+    h_prevs = jnp.concatenate(
+        [jnp.zeros((1, bsz, h), jnp.float32), hs[:-1]], axis=0)
+    t_ids = jnp.arange(t, dtype=jnp.int32)
+
+    def step(carry, inputs):
+        gh, dw, db = carry
+        xp_t, h_prev, t_idx = inputs
+        hp = jnp.dot(h_prev, w32,
+                     preferred_element_type=jnp.float32) + b32
+        xr, xz, xn = xp_t[:, :h], xp_t[:, h:2 * h], xp_t[:, 2 * h:]
+        hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        keep = (qlen2 > t_idx)
+        g_new = jnp.where(keep, gh, 0.0)
+        passthrough = jnp.where(keep, 0.0, gh)
+
+        dz = g_new * (h_prev - n)
+        dn = g_new * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * hn
+        dhn = dn_pre * r
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)  # (B,3H)
+        dxp_t = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+
+        dh_prev = (passthrough + g_new * z
+                   + jnp.dot(dhp, w32.T,
+                             preferred_element_type=jnp.float32))
+        dw = dw + jnp.dot(h_prev.T, dhp,
+                          preferred_element_type=jnp.float32)
+        db = db + jnp.sum(dhp, axis=0)
+        return (dh_prev, dw, db), dxp_t
+
+    init = (gh_final.astype(jnp.float32),
+            jnp.zeros((h, h3), jnp.float32),
+            jnp.zeros((h3,), jnp.float32))
+    (dh0, dw, db), dxp = jax.lax.scan(
+        step, init, (xp.astype(jnp.float32), h_prevs, t_ids),
+        reverse=True)
+    del dh0  # initial state is a constant zero
+    dqlen = np.zeros(qlen.shape, dtype=jax.dtypes.float0)
+    return dxp, dw.astype(w_t.dtype), db.astype(b.dtype), dqlen
+
+
+pallas_gru.defvjp(_fwd, _bwd)
+
+
+def gru_encode_pallas(emb, qlen, w_ih, w_hh, b_ih, b_hh, *,
+                      compute_dtype=jnp.bfloat16,
+                      interpret=False) -> jnp.ndarray:
+    """Drop-in replacement for ops.gru.gru_encode using the Pallas scan.
+
+    The hoisted input projection runs in XLA; the recurrence runs in the
+    kernel. Same signature/semantics as gru_encode.
+    """
+    from vqa_project_tpu.ops.graph_conv import matmul_precision
+
+    prec = matmul_precision(compute_dtype)
+    xp = (
+        jnp.einsum("bte,ge->btg", emb.astype(compute_dtype),
+                   w_ih.astype(compute_dtype),
+                   preferred_element_type=jnp.float32, precision=prec)
+        + b_ih.astype(jnp.float32)
+    )
+    xp = jnp.swapaxes(xp, 0, 1)                     # (T, B, 3H)
+    w_t = jnp.swapaxes(w_hh, 0, 1).astype(compute_dtype)
+    return pallas_gru(xp, w_t, b_hh, qlen.astype(jnp.int32), interpret)
