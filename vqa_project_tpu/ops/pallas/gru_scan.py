@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _gru_kernel(qlen_ref, xp_ref, w_ref, b_ref,
                 hfinal_ref, hs_ref, h_scr):
-    t = pl.program_id(0)
-    n_t = pl.num_programs(0)
+    t = pl.program_id(1)       # time is the minor grid axis
+    n_t = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
@@ -72,35 +72,54 @@ def _gru_kernel(qlen_ref, xp_ref, w_ref, b_ref,
         hfinal_ref[:] = h_out
 
 
+def _batch_tile(bsz: int, h3: int) -> int:
+    """Largest divisor of bsz keeping the kernel's VMEM under ~12 MB
+    (the (H,3H) weights alone take ~6 MB at hid 1024 bf16)."""
+    budget = 12 * 1024 * 1024
+    for bt in range(min(bsz, 256), 0, -1):
+        if bsz % bt:
+            continue
+        # xp block double-buffered f32 + hs block x2 + scratch + hfinal
+        need = bt * h3 * 4 * 2 + bt * (h3 // 3) * 4 * 4
+        if need + (h3 // 3) * h3 * 2 <= budget:
+            return bt
+    return 1
+
+
 def _pallas_forward(xp, w_t, b, qlen, interpret):
     t, bsz, h3 = xp.shape
     h = h3 // 3
+    bt = _batch_tile(bsz, h3)
+    nbt = bsz // bt
     qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
     b2 = b.reshape(1, h3).astype(jnp.float32)
+    # grid (batch tiles, T): T is the MINOR axis, so each batch tile runs
+    # its entire time sweep consecutively and the hidden-state scratch
+    # stays valid for the tile (reset at t == 0 in the kernel).
     return pl.pallas_call(
         _gru_kernel,
-        grid=(t,),
+        grid=(nbt, t),
         in_specs=[
-            pl.BlockSpec((bsz, 1), lambda i: (0, 0),
+            pl.BlockSpec((bt, 1), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bsz, h3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bt, h3), lambda j, i: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h3), lambda i: (0, 0),
+            pl.BlockSpec((h, h3), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h3), lambda i: (0, 0),
+            pl.BlockSpec((1, h3), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bsz, h), lambda i: (0, 0),
+            pl.BlockSpec((bt, h), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bsz, h), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bt, h), lambda j, i: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, h), jnp.float32),
             jax.ShapeDtypeStruct((t, bsz, h), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bsz, h), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
         interpret=interpret,
     )(qlen2, xp.astype(jnp.float32), w_t, b2)
 
