@@ -70,7 +70,12 @@ def main():
     state = replicate(state, mesh)
     train_step = build_train_step(model, tx, mesh, feature_cache=cache,
                                   n_answers=ds.n_answers)
-    put = lambda b: shard_batch(b, mesh)
+    from vqa_project_tpu.data.loader import pack_index_batch
+
+    def put(b):
+        if "image_row" in b:
+            b = pack_index_batch(b)
+        return shard_batch(b, mesh)
 
     # warmup: compile + 3 steps (fetch a value — block_until_ready does
     # not track true completion through the axon tunnel)

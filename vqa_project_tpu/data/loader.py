@@ -144,6 +144,34 @@ class Batcher:
         return batch
 
 
+def pack_index_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pack an index batch's device-bound fields into TWO arrays.
+
+    Through the tunneled TPU every device_put is a separate RPC with
+    ~fixed latency; sending 8 small arrays per step costs more than the
+    step itself. Layout (S = answer-slot capacity, T = max_qlen):
+      ints   (B, T+2+2S) int32:  [question | qlen | image_row | ans_idx
+                                  | vote_idx]
+      floats (B, 2S+1)  float32: [ans_score | vote_val | mask]
+    Host-only fields (qid, index) are intentionally dropped — readers
+    keep the host batch. Unpacked on device by steps.unpack_index_batch.
+    """
+    return {
+        "ints": np.concatenate([
+            batch["question"].astype(np.int32),
+            batch["qlen"][:, None].astype(np.int32),
+            batch["image_row"][:, None].astype(np.int32),
+            batch["ans_idx"].astype(np.int32),
+            batch["vote_idx"].astype(np.int32),
+        ], axis=1),
+        "floats": np.concatenate([
+            batch["ans_score"].astype(np.float32),
+            batch["vote_val"].astype(np.float32),
+            batch["mask"][:, None].astype(np.float32),
+        ], axis=1),
+    }
+
+
 def prefetch_to_device(iterator, put_fn, depth: int = 2):
     """Wrap a host batch iterator with a background thread that stages
     `depth` batches ahead through put_fn (e.g. a sharded jax.device_put),

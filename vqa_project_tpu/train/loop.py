@@ -28,6 +28,7 @@ import numpy as np
 
 from vqa_project_tpu.config import ModelConfig, TrainConfig
 from vqa_project_tpu.data import Batcher, GraphVQADataset, prefetch_to_device
+from vqa_project_tpu.data.loader import pack_index_batch
 from vqa_project_tpu.models import GraphVQAModel
 from vqa_project_tpu.parallel import make_mesh, replicate, shard_batch
 from vqa_project_tpu.train.metrics import MetricLogger
@@ -154,7 +155,13 @@ def fit(
 
     logger = MetricLogger(train_cfg.log_interval, jsonl_path,
                           n_chips=n_chips, batch_size=bs)
-    put = lambda b: shard_batch(b, mesh, train_cfg.data_axis)
+
+    def put(b):
+        # index batches travel as two packed arrays (tunnel RPCs are the
+        # per-step bottleneck, see data.loader.pack_index_batch)
+        if "image_row" in b:
+            b = pack_index_batch(b)
+        return shard_batch(b, mesh, train_cfg.data_axis)
 
     epoch_acc = 0.0
     for ep in range(start_epoch, start_epoch + train_cfg.epochs):
@@ -254,7 +261,10 @@ def evaluate(
     loader = Batcher(ds, batch_size, shuffle=False,
                      materialize=cache is None,
                      **_locality_kwargs(cache, ds))
-    put = lambda b: shard_batch(b, mesh, data_axis)
+    def put(b):
+        if "image_row" in b:
+            b = pack_index_batch(b)
+        return shard_batch(b, mesh, data_axis)
 
     result: List[dict] = []
     adjacencies: List[np.ndarray] = []

@@ -85,9 +85,28 @@ def make_image_fn(feature_cache):
     return lambda rows: gather(features, boxes, rows)
 
 
+def unpack_index_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Inverse of data.loader.pack_index_batch (device-side, inside jit)."""
+    ints, floats = batch["ints"], batch["floats"]
+    s = (floats.shape[1] - 1) // 2
+    t = ints.shape[1] - 2 - 2 * s
+    return {
+        "question": ints[:, :t],
+        "qlen": ints[:, t],
+        "image_row": ints[:, t + 1],
+        "ans_idx": ints[:, t + 2:t + 2 + s],
+        "vote_idx": ints[:, t + 2 + s:],
+        "ans_score": floats[:, :s],
+        "vote_val": floats[:, s:2 * s],
+        "mask": floats[:, 2 * s],
+    }
+
+
 def _assemble_inputs(batch: Dict[str, jax.Array], image_fn,
                      n_answers: Optional[int]):
     """Return (question, image, qlen, answers_fn, score_fn)."""
+    if "ints" in batch:
+        batch.update(unpack_index_batch(batch))
     if image_fn is None:
         return (batch["question"], batch["image"], batch["qlen"],
                 lambda: batch["answers"],
