@@ -157,3 +157,15 @@ def test_async_checkpoint(data_dir, tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_learns_with_bf16_compute(data_dir):
+    """The production numerics policy (bf16 matmuls) still learns."""
+    import dataclasses
+
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    cfg = dataclasses.replace(MODEL_CFG, compute_dtype="bfloat16")
+    tcfg = TrainConfig(lr=5e-3, epochs=15, batch_size=32, eval_interval=0,
+                       log_interval=1000)
+    model, state, acc = fit(tcfg, cfg, ds)
+    assert acc > 40.0, acc

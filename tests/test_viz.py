@@ -119,3 +119,36 @@ def test_cv2_renderer(tmp_path, rng):
                      path=path)
     assert img.shape == (480, 640, 3)
     assert os.path.getsize(path) > 3_000
+
+
+def test_plot_given_question(tmp_path):
+    import jax
+
+    from vqa_project_tpu.config import ModelConfig
+    from vqa_project_tpu.data import Batcher, GraphVQADataset
+    from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+    from vqa_project_tpu.train.loop import build_model
+    from vqa_project_tpu.viz.plots import plot_given_question
+    import jax.numpy as jnp
+
+    d = str(tmp_path / "data")
+    generate_synthetic_vqa(d, n_images=4, n_questions=12, n_obj=6,
+                           feat_dim=12, q_vocab=10, n_answers=4)
+    ds = GraphVQADataset.vqa2(d, "train", n_obj=6, max_qlen=10)
+    mcfg = ModelConfig(emb_dim=12, hid_dim=16, combined_dim=8,
+                       n_kernels=2, neighbourhood_size=3, dropout=0.1,
+                       max_qlen=10, compute_dtype="float32")
+    model = build_model(mcfg, ds)
+    sample = next(iter(Batcher(ds, 2)))
+    params = model.init(jax.random.key(0),
+                        jnp.asarray(sample["question"]),
+                        jnp.asarray(sample["image"]),
+                        jnp.asarray(sample["qlen"]))
+    q = ds.vqa[0]["question"]
+    path = str(tmp_path / "one.jpg")
+    plot_given_question(model, params, ds, q, path=path)
+    assert os.path.getsize(path) > 5_000
+    import pytest
+
+    with pytest.raises(KeyError):
+        plot_given_question(model, params, ds, "not a real question?")

@@ -163,6 +163,32 @@ def find_question(vqa_rows: List[dict], question: str,
     return None
 
 
+def plot_given_question(model, params, ds, question: str,
+                        image_id: Optional[str] = None,
+                        path: Optional[str] = None, top_nodes: int = 7):
+    """Render the learned graph for one (question, image_id) pair — the
+    plot_given_fig capability (plot.py:406-453): look the question up in
+    the dataset, run a single forward pass, draw the figure."""
+    import jax
+    import jax.numpy as jnp
+
+    idx = find_question(ds.vqa, question, image_id)
+    if idx is None:
+        raise KeyError(f"question not found: {question!r}")
+    t = ds.table
+    q = jnp.asarray(t.tokens[idx:idx + 1])
+    image = jnp.asarray(ds.store.batch(t.image_row[idx:idx + 1]))
+    qlen = jnp.asarray(t.qlen[idx:idx + 1])
+    logits, adjacency, _ = model.apply(params, q, image, qlen)
+    pred = ds.a_itow[int(jax.numpy.argmax(logits[0]))]
+    row = ds.vqa[idx]
+    boxes = np.asarray(ds.store.boxes[t.image_row[idx]])
+    return plot_adjacency_graph(
+        boxes, np.asarray(adjacency[0]), top_nodes=top_nodes,
+        question=row["question"], prediction=pred,
+        answer=row.get("answer", ""), path=path)
+
+
 def visualize_checkpoint(model, params, ds, out_dir: str,
                          *, batch_size: int = 32, n_batches: int = 4,
                          top_nodes: int = 7, save_npz: bool = True,
