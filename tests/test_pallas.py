@@ -131,3 +131,29 @@ def test_pallas_gru_gradients_match(rng):
     for a, b_ in zip(gx, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gru_bwd_kernel_matches_xla_reference(rng):
+    """The reverse-time Pallas backward equals the XLA reverse-scan
+    backward for all gradients."""
+    from vqa_project_tpu.ops.pallas.gru_scan import (
+        _bwd,
+        _bwd_xla_reference,
+        _pallas_forward,
+    )
+
+    t, bsz, e, h = 7, 4, 8, 12
+    h3 = 3 * h
+    xp = jnp.asarray(rng.normal(size=(t, bsz, h3)).astype(np.float32))
+    w_t = jnp.asarray((rng.normal(size=(h, h3)) * 0.2).astype(np.float32))
+    b = jnp.asarray((rng.normal(size=(h3,)) * 0.2).astype(np.float32))
+    qlen = jnp.asarray(np.array([7, 2, 5, 1], np.int32))
+    _, hs = _pallas_forward(xp, w_t, b, qlen, True)
+    gh = jnp.asarray(rng.normal(size=(bsz, h)).astype(np.float32))
+
+    res = (xp, w_t, b, qlen, hs)
+    got = _bwd(True, res, gh)
+    want = _bwd_xla_reference(res, gh)
+    for g, w in zip(got[:3], want[:3]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-6)

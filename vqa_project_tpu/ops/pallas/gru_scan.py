@@ -124,6 +124,104 @@ def _pallas_forward(xp, w_t, b, qlen, interpret):
     )(qlen2, xp.astype(jnp.float32), w_t, b2)
 
 
+def _gru_bwd_kernel(qlen_ref, xp_ref, hprev_ref, w_ref, b_ref, ghf_ref,
+                    dxp_ref, dhp_ref, gh_scr, *, n_t: int):
+    i = pl.program_id(1)                 # reverse sweep: t = T-1-i
+    t = n_t - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        gh_scr[:] = ghf_ref[:]
+
+    gh = gh_scr[:]
+    xp_t = xp_ref[0]
+    h_prev = hprev_ref[0]
+    hp = jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:],
+                 preferred_element_type=jnp.float32) + b_ref[0]
+    h = h_prev.shape[1]
+    xr, xz, xn = xp_t[:, :h], xp_t[:, h:2 * h], xp_t[:, 2 * h:]
+    hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+
+    keep = qlen_ref[:] > t
+    g_new = jnp.where(keep, gh, 0.0)
+    passthrough = jnp.where(keep, 0.0, gh)
+
+    dz = g_new * (h_prev - n)
+    dn = g_new * (1.0 - z)
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn
+    dhn = dn_pre * r
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+    dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+    dxp_ref[0] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+    dhp_ref[0] = dhp
+    # dh_prev: contract dhp's 3H axis against w's 3H axis (no transpose
+    # materialized — the MXU takes either contraction)
+    gh_scr[:] = (
+        passthrough + g_new * z
+        + jax.lax.dot_general(
+            dhp.astype(w_ref.dtype), w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+
+def _pallas_backward(xp, w_t, b, qlen, hs, gh_final, interpret):
+    """Reverse-time Pallas sweep producing dxp and the per-step dhp;
+    the weight/bias gradients reduce over (T, B) in XLA afterwards (one
+    big MXU matmul)."""
+    t, bsz, h3 = xp.shape
+    h = h3 // 3
+    # smaller tile than fwd: two extra streamed blocks live per step
+    bt = _batch_tile(bsz, h3 + h3)
+    nbt = bsz // bt
+    h_prevs = jnp.concatenate(
+        [jnp.zeros((1, bsz, h), jnp.float32), hs[:-1]], axis=0)
+    qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
+    b2 = b.reshape(1, h3).astype(jnp.float32)
+
+    kern = functools.partial(_gru_bwd_kernel, n_t=t)
+    dxp, dhp = pl.pallas_call(
+        kern,
+        grid=(nbt, t),
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, h3), lambda j, i: (t - 1 - i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, h), lambda j, i: (t - 1 - i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h3), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, h), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bt, h3), lambda j, i: (t - 1 - i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, h3), lambda j, i: (t - 1 - i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, bsz, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, bsz, h3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
+        interpret=interpret,
+    )(qlen2, xp.astype(jnp.float32), h_prevs, w_t, b2,
+      gh_final.astype(jnp.float32))
+
+    dw = jnp.einsum("tbh,tbg->hg", h_prevs, dhp,
+                    preferred_element_type=jnp.float32)
+    db = jnp.sum(dhp, axis=(0, 1))
+    return dxp, dw, db
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def pallas_gru(xp, w_t, b, qlen, interpret=False):
     """GRU sequence scan; returns the final hidden state (B, H).
@@ -145,7 +243,16 @@ def _fwd(xp, w_t, b, qlen, interpret):
 
 
 def _bwd(interpret, res, gh_final):
-    del interpret
+    xp, w_t, b, qlen, hs = res
+    dxp, dw, db = _pallas_backward(xp, w_t, b, qlen, hs, gh_final,
+                                   interpret)
+    dqlen = np.zeros(qlen.shape, dtype=jax.dtypes.float0)
+    return dxp, dw.astype(w_t.dtype), db.astype(b.dtype), dqlen
+
+
+def _bwd_xla_reference(res, gh_final):
+    """XLA reverse-scan backward — kept as the oracle for the Pallas
+    backward kernel (tests/test_pallas.py)."""
     xp, w_t, b, qlen, hs = res
     t, bsz, h3 = xp.shape
     h = h3 // 3
