@@ -157,3 +157,10 @@ def test_pallas_gru_bwd_kernel_matches_xla_reference(rng):
     for g, w in zip(got[:3], want[:3]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_gru_bwd_kernel_via_env(rng, monkeypatch):
+    """custom_vjp with VQAX_PALLAS_GRU_BWD=1 routes through the Pallas
+    backward and still matches the XLA gradients."""
+    monkeypatch.setenv("VQAX_PALLAS_GRU_BWD", "1")
+    test_pallas_gru_gradients_match(rng)

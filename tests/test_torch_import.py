@@ -114,3 +114,41 @@ def test_full_dict_checkpoint_format():
     wrapped = {"epoch": 3, "state_dict": sd, "optimizer": {}}
     tree = import_torch_state_dict(wrapped)
     assert tree["params"]["wembed"].shape == (CFG.vocab_size, CFG.emb_dim)
+
+
+def test_validate_parity_cli(tmp_path, monkeypatch):
+    """The parity-eval CLI runs end-to-end over a synthetic dataset with
+    a synthetic torch checkpoint."""
+    import json as _json
+
+    from tests.test_model import CFG
+    from vqa_project_tpu.cli.validate_parity import main
+    from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+
+    d = str(tmp_path / "data")
+    generate_synthetic_vqa(d, n_images=4, n_questions=16, n_obj=CFG.n_obj,
+                           feat_dim=CFG.feat_dim - 4,
+                           q_vocab=CFG.vocab_size - 1 - 9,
+                           n_answers=CFG.out_dim - 1)
+    # torch checkpoint with matching dims (vocab from dataset)
+    import dataclasses
+
+    from vqa_project_tpu.data import GraphVQADataset
+
+    ds = GraphVQADataset.vqa2(d, "train", n_obj=CFG.n_obj, max_qlen=16)
+    cfg = dataclasses.replace(CFG, vocab_size=ds.q_words,
+                              out_dim=ds.n_answers, emb_dim=300,
+                              max_qlen=16)
+    sd = _make_torch_state_dict(cfg)
+    ckpt = str(tmp_path / "ref.pt")
+    torch.save(sd, ckpt)
+
+    monkeypatch.chdir(tmp_path)
+    main(["--model_path", ckpt, "--data_dir", d, "--split", "train",
+          "--bsize", "8", "--hid", str(cfg.hid_dim),
+          "--n_kernels", str(cfg.n_kernels),
+          "--neighbourhood_size", str(cfg.neighbourhood_size),
+          "--n_obj", str(cfg.n_obj),
+          "--combined_dim", str(cfg.combined_dim)])
+    result = _json.load(open(tmp_path / "result.json"))
+    assert len(result) == 12  # generator puts 75% of questions in train

@@ -72,24 +72,30 @@ def _gru_kernel(qlen_ref, xp_ref, w_ref, b_ref,
         hfinal_ref[:] = h_out
 
 
-def _batch_tile(bsz: int, h3: int) -> int:
-    """Largest divisor of bsz keeping the kernel's VMEM under ~12 MB
-    (the (H,3H) weights alone take ~6 MB at hid 1024 bf16)."""
-    budget = 12 * 1024 * 1024
+def _batch_tile(bsz: int, row_bytes: int, fixed_bytes: int) -> int:
+    """Largest batch tile (divisor of bsz, multiple of 8 unless equal to
+    bsz — the Mosaic sublane constraint) fitting the VMEM budget.
+
+    row_bytes: per-batch-row VMEM cost of all streamed/scratch buffers
+    (double-buffering included by the caller); fixed_bytes: resident
+    weights/bias."""
+    budget = 13 * 1024 * 1024  # 16 MB VMEM minus compiler slack
     for bt in range(min(bsz, 256), 0, -1):
         if bsz % bt:
             continue
-        # xp block double-buffered f32 + hs block x2 + scratch + hfinal
-        need = bt * h3 * 4 * 2 + bt * (h3 // 3) * 4 * 4
-        if need + (h3 // 3) * h3 * 2 <= budget:
+        if bt != bsz and bt % 8:
+            continue
+        if bt * row_bytes + fixed_bytes <= budget:
             return bt
-    return 1
+    return bsz  # tiny batches: single tile (block == full array)
 
 
 def _pallas_forward(xp, w_t, b, qlen, interpret):
     t, bsz, h3 = xp.shape
     h = h3 // 3
-    bt = _batch_tile(bsz, h3)
+    # xp block f32 x2 buffers + hs out x2 + scratch + hfinal
+    bt = _batch_tile(bsz, row_bytes=h3 * 8 + h * 16,
+                     fixed_bytes=h * h3 * jnp.dtype(w_t.dtype).itemsize)
     nbt = bsz // bt
     qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
     b2 = b.reshape(1, h3).astype(jnp.float32)
@@ -175,8 +181,10 @@ def _pallas_backward(xp, w_t, b, qlen, hs, gh_final, interpret):
     big MXU matmul)."""
     t, bsz, h3 = xp.shape
     h = h3 // 3
-    # smaller tile than fwd: two extra streamed blocks live per step
-    bt = _batch_tile(bsz, h3 + h3)
+    # streamed per row: xp + dxp + dhp (f32, double-buffered) + h_prev x2
+    # + gh scratch + ghf
+    bt = _batch_tile(bsz, row_bytes=h3 * 24 + h * 16,
+                     fixed_bytes=h * h3 * jnp.dtype(w_t.dtype).itemsize)
     nbt = bsz // bt
     h_prevs = jnp.concatenate(
         [jnp.zeros((1, bsz, h), jnp.float32), hs[:-1]], axis=0)
@@ -243,16 +251,26 @@ def _fwd(xp, w_t, b, qlen, interpret):
 
 
 def _bwd(interpret, res, gh_final):
-    xp, w_t, b, qlen, hs = res
-    dxp, dw, db = _pallas_backward(xp, w_t, b, qlen, hs, gh_final,
-                                   interpret)
-    dqlen = np.zeros(qlen.shape, dtype=jax.dtypes.float0)
-    return dxp, dw.astype(w_t.dtype), db.astype(b.dtype), dqlen
+    # Default backward: the XLA reverse scan over the saved hidden
+    # states. The Pallas backward kernel below is numerically identical
+    # but measured SLOWER end-to-end on v5e (13.0 vs 10.3 ms fwd+grad at
+    # B=256: the per-step dhp HBM writes + separate weight-grad einsum
+    # outweigh the loop-overhead savings). Set VQAX_PALLAS_GRU_BWD=1 to
+    # use it anyway.
+    import os
+
+    if os.environ.get("VQAX_PALLAS_GRU_BWD") == "1":
+        xp, w_t, b, qlen, hs = res
+        dxp, dw, db = _pallas_backward(xp, w_t, b, qlen, hs, gh_final,
+                                       interpret)
+        dqlen = np.zeros(qlen.shape, dtype=jax.dtypes.float0)
+        return dxp, dw.astype(w_t.dtype), db.astype(b.dtype), dqlen
+    return _bwd_xla_reference(res, gh_final)
 
 
 def _bwd_xla_reference(res, gh_final):
-    """XLA reverse-scan backward — kept as the oracle for the Pallas
-    backward kernel (tests/test_pallas.py)."""
+    """XLA reverse-scan backward over the saved hidden states (default;
+    also the oracle for the Pallas backward kernel)."""
     xp, w_t, b, qlen, hs = res
     t, bsz, h3 = xp.shape
     h = h3 // 3
