@@ -285,12 +285,20 @@ def evaluate(
                     "answer": ds.a_itow[int(preds[i])],
                 })
         if collect_adjacency:
-            adjacencies.append(np.asarray(adjacency))
+            # keep (dataset row, adjacency) pairs: partitioned (sharded-
+            # cache) batches visit questions out of order
+            adj = np.asarray(adjacency)
+            idxs = host_batch["index"]
+            for i in range(len(preds)):
+                if mask[i] > 0:
+                    adjacencies.append((int(idxs[i]), adj[i]))
 
     acc = correct / ds.n_questions * 100.0
     if result_path:
         with open(result_path, "w") as f:
             json.dump(result, f)
     if collect_adjacency:
-        return acc, result, adjacencies
+        adjacencies.sort(key=lambda p: p[0])
+        ordered = np.stack([a for _, a in adjacencies])
+        return acc, result, [ordered]
     return acc, result
