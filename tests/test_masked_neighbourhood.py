@@ -70,3 +70,46 @@ def test_masked_conv_equals_sparse_conv(rng):
             compute_dtype=jnp.float32))
 
         np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_masked_neighbourhood_exactly_m_with_ties(rng):
+    """All-equal rows (e.g. ReLU-dead adjacency rows) still select
+    exactly m neighbours, lowest indices first."""
+    adj = np.zeros((2, K, K), np.float32)
+    adj[1] = rng.normal(size=(K, K))
+    adj[1, 3] = 0.5  # a fully tied row among distinct rows
+    alpha, mask = masked_neighbourhood(jnp.asarray(adj), M)
+    mask = np.asarray(mask)
+    alpha = np.asarray(alpha)
+    assert (mask.sum(-1) == M).all()
+    # zero rows: lowest-index neighbours, uniform softmax
+    np.testing.assert_array_equal(mask[0, 0, :M], 1.0)
+    np.testing.assert_array_equal(mask[0, 0, M:], 0.0)
+    np.testing.assert_allclose(alpha[0, 0, :M], 1.0 / M, rtol=1e-6)
+    # tied row in batch 1
+    np.testing.assert_array_equal(mask[1, 3, :M], 1.0)
+
+
+def test_pallas_kernel_tie_break_matches(rng):
+    """The Pallas rank formulation agrees with masked_neighbourhood on
+    tied rows."""
+    from vqa_project_tpu.ops.pallas import (
+        edge_aggregate_reference,
+        fused_edge_aggregate,
+    )
+
+    adj = np.zeros((1, K, K), np.float32)  # fully tied everywhere
+    pseudo = np.stack(
+        [rng.uniform(0, 1, size=(1, K, K)),
+         rng.uniform(-np.pi, np.pi, size=(1, K, K))], axis=-1
+    ).astype(np.float32)
+    proj = rng.normal(size=(1, K, N_KERN * 4)).astype(np.float32)
+    gparams = np.stack([rng.uniform(0.1, 1, N_KERN) for _ in range(4)]
+                       ).astype(np.float32)
+    got = np.asarray(fused_edge_aggregate(
+        jnp.asarray(adj), jnp.asarray(pseudo), jnp.asarray(proj),
+        jnp.asarray(gparams), M, True, True))
+    want = np.asarray(edge_aggregate_reference(
+        jnp.asarray(adj), jnp.asarray(pseudo), jnp.asarray(proj),
+        jnp.asarray(gparams), m=M, use_alpha=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)

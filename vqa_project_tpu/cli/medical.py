@@ -89,13 +89,17 @@ def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
                            result_path=None,
                            num_devices=args.num_devices)
     # predictions CSV rows: image_id,question,prediction,answer
-    # (run_imageclef.py:193-199); qid == row index in the medical jsons
-    pred_by_qid = {r["question_id"]: r["answer"] for r in result}
+    # (run_imageclef.py:193-199). Map question_id -> dataset row
+    # explicitly: real MIMIC question_ids are global CSV row indices
+    # (offset by the train split and gappy where dicom_ids were
+    # filtered), NOT json row indices.
+    qid_to_row = {int(r["question_id"]): i
+                  for i, r in enumerate(val_ds.vqa)}
     rows = []
-    for qid, pred in pred_by_qid.items():
-        row = val_ds.vqa[qid]
+    for r in result:
+        row = val_ds.vqa[qid_to_row[int(r["question_id"])]]
         rows.append(f"{row['image_id']},{row['question']},"
-                    f"{pred},{row.get('answer', '')}")
+                    f"{r['answer']},{row.get('answer', '')}")
 
     os.makedirs(args.save_dir, exist_ok=True)
     name = (f"{ckpt_prefix}_{args.n_obj}_{args.n_kernels}_"

@@ -4,7 +4,7 @@ Parity target: /root/reference/run.py:476-533. Every public flag name is
 preserved (--train/--trainval/--eval/--test, --lr, --ep, --bsize,
 --n_kernels, --hid, --emb, --neighbourhood_size, --n_obj, --data_dir,
 --save_dir, --plot_dir, --log_interval, --name, --dropout, --model_path),
-with TPU additions (--num_devices, --compute_dtype, --no_pallas,
+with TPU additions (--num_devices, --compute_dtype, --pallas,
 --synthetic) that do not collide with the reference surface.
 
 Deliberate divergences from the reference defaults (documented per

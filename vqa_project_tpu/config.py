@@ -64,7 +64,8 @@ class TrainConfig:
     # TPU execution
     data_axis: str = "data"        # mesh axis name for data parallelism
     num_devices: Optional[int] = None  # None = all visible
-    donate_state: bool = True
+    # (state donation is unconditional in train/steps.py — on the
+    # tunneled backend a non-donated step leaks the full state per call)
     prefetch: int = 2              # host->device prefetch depth
     # device-resident feature cache: used when the packed feature table
     # fits under this budget; otherwise batches stream dense features

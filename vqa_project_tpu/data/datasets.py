@@ -33,6 +33,17 @@ from vqa_project_tpu.data.vocab import load_vocab
 _MAX_ANS = 16
 
 
+def write_sizes_csv(path: str, sizes: Dict[str, Sequence[float]]) -> None:
+    """Write the *_image_size.csv artifact (columns = image ids, row 0
+    width, row 1 height) — single writer shared by every preprocessor;
+    _read_sizes_csv below is its inverse."""
+    ids = list(sizes.keys())
+    with open(path, "w") as f:
+        f.write("," + ",".join(ids) + "\n")
+        f.write("0," + ",".join(str(sizes[i][0]) for i in ids) + "\n")
+        f.write("1," + ",".join(str(sizes[i][1]) for i in ids) + "\n")
+
+
 def _read_sizes_csv(path: str) -> Dict[str, np.ndarray]:
     """Parse the *_image_size.csv artifact: columns are image ids, row 0 is
     width, row 1 height (see /root/reference/data/preprocess_image.py:80-90

@@ -43,8 +43,9 @@ class Batcher:
         mesh-SHARDED feature cache (parallel/sharded_cache.py). Every
         batch is then built so its i-th equal slice contains only chip
         i's questions, making the feature gather communication-free.
-        Short pools are padded with repeats carrying mask=0 (eval) or
-        dropped (drop_last=True, training).
+        Partitioned mode ignores drop_last: short pool segments are
+        always padded with mask=0 repeats (the loss and scoring are
+        mask-aware), so each epoch visits every question exactly once.
         """
         self.ds = dataset
         self.batch_size = batch_size

@@ -61,11 +61,10 @@ def features_to_zarr(phase: str, infiles: List[str] = None,
                                    int(item["image_h"]))
 
     print("Writing image sizes csv...")
-    ids = list(image_size.keys())
-    with open(os.path.join(out_dir, f"{phase}_image_size.csv"), "w") as f:
-        f.write("," + ",".join(ids) + "\n")
-        f.write("0," + ",".join(str(image_size[i][0]) for i in ids) + "\n")
-        f.write("1," + ",".join(str(image_size[i][1]) for i in ids) + "\n")
+    from vqa_project_tpu.data.datasets import write_sizes_csv
+
+    write_sizes_csv(os.path.join(out_dir, f"{phase}_image_size.csv"),
+                    image_size)
 
 
 def main(argv=None):

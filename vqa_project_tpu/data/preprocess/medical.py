@@ -91,16 +91,14 @@ def write_feature_artifacts(merged: Dict, prefix: str, out_dir: str = "."):
     <prefix>image_size.csv from a merge result."""
     feats = ZarrWriter(os.path.join(out_dir, f"{prefix}features.zarr"))
     boxes = ZarrWriter(os.path.join(out_dir, f"{prefix}boxes.zarr"))
+    from vqa_project_tpu.data.datasets import write_sizes_csv
+
     ids = list(merged.keys())
     for iid in ids:
         feats.create_dataset(iid, merged[iid]["feat"])
         boxes.create_dataset(iid, merged[iid]["boxes"])
-    with open(os.path.join(out_dir, f"{prefix}image_size.csv"), "w") as f:
-        f.write("," + ",".join(ids) + "\n")
-        f.write("0," + ",".join(str(merged[i]["size"][0]) for i in ids)
-                + "\n")
-        f.write("1," + ",".join(str(merged[i]["size"][1]) for i in ids)
-                + "\n")
+    write_sizes_csv(os.path.join(out_dir, f"{prefix}image_size.csv"),
+                    {i: merged[i]["size"] for i in ids})
 
 
 def _finalize_text(rows: List[dict], q_dict_path: str, a_dict_path: str,

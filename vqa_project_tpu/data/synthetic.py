@@ -59,11 +59,11 @@ def generate_synthetic_vqa(
         boxes.create_dataset(iid, b)
         sizes[iid] = (w, h)
 
+    from vqa_project_tpu.data.datasets import write_sizes_csv
+
     ids = list(sizes.keys())
-    with open(os.path.join(data_dir, "trainval_image_size.csv"), "w") as f:
-        f.write("," + ",".join(ids) + "\n")
-        f.write("0," + ",".join(str(sizes[i][0]) for i in ids) + "\n")
-        f.write("1," + ",".join(str(sizes[i][1]) for i in ids) + "\n")
+    write_sizes_csv(os.path.join(data_dir, "trainval_image_size.csv"),
+                    sizes)
 
     # --- vocabularies ---
     q_words = [f"word{i}" for i in range(q_vocab)]
@@ -114,10 +114,8 @@ def generate_synthetic_vqa(
             tb.create_dataset(iid, np.asarray(
                 ZarrWriter(os.path.join(data_dir, "trainval_boxes.zarr"))[iid]))
         tids = ids[: max(2, n_images // 4)]
-        with open(os.path.join(data_dir, "test_image_size.csv"), "w") as f:
-            f.write("," + ",".join(tids) + "\n")
-            f.write("0," + ",".join(str(sizes[i][0]) for i in tids) + "\n")
-            f.write("1," + ",".join(str(sizes[i][1]) for i in tids) + "\n")
+        write_sizes_csv(os.path.join(data_dir, "test_image_size.csv"),
+                        {i: sizes[i] for i in tids})
         rows = make_rows(n_questions // 4, 20_000)
         for r in rows:
             r["image_id"] = tids[int(rng.integers(0, len(tids)))]

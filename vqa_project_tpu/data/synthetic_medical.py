@@ -33,10 +33,10 @@ def _write_images(data_dir, prefix, ids, n_obj, feat_dim, rng, img_class):
         feats.create_dataset(iid, f)
         boxes.create_dataset(iid, b)
         sizes[iid] = (w, h)
-    with open(os.path.join(data_dir, f"{prefix}image_size.csv"), "w") as f:
-        f.write("," + ",".join(ids) + "\n")
-        f.write("0," + ",".join(str(sizes[i][0]) for i in ids) + "\n")
-        f.write("1," + ",".join(str(sizes[i][1]) for i in ids) + "\n")
+    from vqa_project_tpu.data.datasets import write_sizes_csv
+
+    write_sizes_csv(os.path.join(data_dir, f"{prefix}image_size.csv"),
+                    sizes)
 
 
 def generate_synthetic_imageclef(

@@ -84,18 +84,26 @@ def masked_neighbourhood(
     scatter, no integer indices — pure VPU/MXU-friendly dense ops.
 
     Semantics match torch.topk + softmax (sparse_graph_model.py:225-227)
-    except tie-breaking: if several entries tie exactly at the threshold,
-    all of them are selected (the reference picks an arbitrary m of them).
-    Ties between learned fp32 adjacency scores are measure-zero.
+    with DETERMINISTIC lowest-index tie-breaking, so exactly m entries
+    are selected per row even for all-equal rows. (The double-ReLU graph
+    learner can emit exactly-zero adjacency rows when a node's embedding
+    is ReLU-dead — a real case, not measure-zero — and a naive
+    `adj >= threshold` mask would then select all K neighbours.)
 
     Returns:
       alpha: (B, K, K) float32 — softmaxed edge weights, 0 outside top-m.
-      mask:  (B, K, K) float32 — 1.0 on selected edges.
+      mask:  (B, K, K) float32 — 1.0 on the selected exactly-m edges.
     """
     adj = adjacency.astype(jnp.float32)
     top_vals, _ = jax.lax.top_k(adj, neighbourhood_size)
     thr = top_vals[..., -1:]                            # m-th largest
-    mask = (adj >= thr).astype(jnp.float32)
+    gt = adj > thr
+    n_gt = jnp.sum(gt, axis=-1, keepdims=True)
+    # fill remaining slots from threshold ties, lowest index first
+    tie = adj == thr
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32), axis=-1)
+    quota = neighbourhood_size - n_gt
+    mask = (gt | (tie & (tie_rank <= quota))).astype(jnp.float32)
     neg_inf = jnp.asarray(-jnp.inf, adj.dtype)
     alpha = jax.nn.softmax(jnp.where(mask > 0, adj, neg_inf), axis=-1)
     return alpha, mask

@@ -42,10 +42,15 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
     rho = pseudo_ref[0, 0]                             # (K, K) f32
     theta = pseudo_ref[0, 1]                           # (K, K)
 
-    # --- top-m mask via pairwise rank (ties: >= threshold) ---
-    # greater[i, j', j] = adj[i, j'] > adj[i, j]
-    greater = (adj[:, :, None] > adj[:, None, :]).astype(jnp.float32)
-    rank = jnp.sum(greater, axis=1)                    # (K, K)
+    # --- top-m mask via pairwise rank with lowest-index tie-breaking:
+    # j' beats j iff adj[j'] > adj[j] or (equal and j' < j); selecting
+    # rank < m picks EXACTLY m entries per row (matches
+    # ops.neighbourhood.masked_neighbourhood incl. all-equal rows) ---
+    beats = (adj[:, :, None] > adj[:, None, :])
+    jp = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 2)
+    ties = (adj[:, :, None] == adj[:, None, :]) & (jp < jj)
+    rank = jnp.sum((beats | ties).astype(jnp.float32), axis=1)  # (K, K)
     mask = (rank < float(m)).astype(jnp.float32)
 
     # --- masked softmax over the row (exact zeros off-neighbourhood) ---

@@ -95,6 +95,15 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
     return None
 
 
+def _same_store(a, b) -> bool:
+    """True when two FeatureStores are backed by the same packed files."""
+    if a is b:
+        return True
+    fa = getattr(a.features, "filename", None)
+    fb = getattr(b.features, "filename", None)
+    return fa is not None and fa == fb
+
+
 def _locality_kwargs(cache, ds: GraphVQADataset) -> dict:
     """Batcher kwargs for locality batching over a sharded cache."""
     from vqa_project_tpu.parallel.sharded_cache import ShardedFeatureCache
@@ -143,9 +152,12 @@ def fit(
     eval_step = None
     val_iter = None
     if val_ds is not None:
-        # val shares the train feature store for 'train' mode (same zarr)
-        val_cache = cache if val_ds.store is train_ds.store else \
-            make_feature_cache(val_ds, mesh, train_cfg)
+        # val shares the train feature cache when both adapters packed
+        # the same store (VQA 'train'/'val' both read trainval.zarr; the
+        # FeatureStore objects are distinct, so compare the backing
+        # memmap files)
+        val_cache = (cache if _same_store(val_ds.store, train_ds.store)
+                     else make_feature_cache(val_ds, mesh, train_cfg))
         eval_step = build_eval_step(model, mesh, feature_cache=val_cache,
                                     n_answers=val_ds.n_answers)
         val_iter = _infinite_batches(
@@ -229,13 +241,18 @@ def _infinite_batches(batcher: Batcher):
 
 def _mini_validation(eval_step, params, val_iter, put, bs,
                      n_batches: int = 10) -> float:
-    """10-batch random-subset validation (run.py:248-259)."""
+    """10-batch random-subset validation (run.py:248-259). The
+    denominator counts only valid (mask=1) rows — padded rows of
+    locality/final batches score 0 and must not dilute the accuracy."""
+    del bs
     correct = 0.0
+    n_valid = 0.0
     for _ in range(n_batches):
-        batch = put(next(val_iter))
-        _, score, _ = eval_step(params, batch)
+        host = next(val_iter)
+        n_valid += float(host["mask"].sum())
+        _, score, _ = eval_step(params, put(host))
         correct += float(score)
-    return correct / (n_batches * bs) * 100.0
+    return correct / max(n_valid, 1.0) * 100.0
 
 
 def evaluate(

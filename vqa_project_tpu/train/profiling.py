@@ -41,12 +41,15 @@ def annotate(name: str):
 
 
 def force_sync(x) -> None:
-    """Barrier that is honest on tunneled backends: fetches one element
-    instead of relying on block_until_ready."""
+    """Barrier that is honest on tunneled backends: fetches ONE element
+    (block_until_ready does not track real completion there, and pulling
+    a whole leaf would add a multi-MB D2H per call)."""
     import jax
 
     leaf = jax.tree.leaves(x)[0]
-    np.asarray(leaf).ravel()[:1]
+    if hasattr(leaf, "ravel"):
+        leaf = leaf.ravel()[:1]  # device-side slice, then 4-byte fetch
+    jax.device_get(leaf)
 
 
 class StepTimer:
