@@ -41,6 +41,7 @@ def main():
 
     n_chips = len(jax.devices())
     bsize = int(os.environ.get("BENCH_BSIZE", 256)) * n_chips
+    mode = os.environ.get("BENCH_MODE", "train")  # train | eval
 
     # synthetic dataset at real VQA v2 dimensions
     data_dir = os.environ.get("BENCH_DATA_DIR")
@@ -68,8 +69,19 @@ def main():
     sample = next(iter(Batcher(ds, bsize)))
     state = create_train_state(model, model.cfg, tx, sample, seed=0)
     state = replicate(state, mesh)
-    train_step = build_train_step(model, tx, mesh, feature_cache=cache,
-                                  n_answers=ds.n_answers)
+    if mode == "eval":
+        from vqa_project_tpu.train.steps import build_eval_step
+
+        eval_step = build_eval_step(model, mesh, feature_cache=cache,
+                                    n_answers=ds.n_answers)
+        params = state.params
+
+        def train_step(st, batch):  # same loop shape; returns a scalar
+            preds, score, _ = eval_step(params, batch)
+            return st, {"loss": score}
+    else:
+        train_step = build_train_step(model, tx, mesh, feature_cache=cache,
+                                      n_answers=ds.n_answers)
     from vqa_project_tpu.data.loader import pack_index_batch
 
     def put(b):
@@ -105,7 +117,7 @@ def main():
           f"time={dt:.3f}s loss={float(m['loss']):.4f} "
           f"total={qa_per_sec:.0f} qa/s", file=sys.stderr)
     print(json.dumps({
-        "metric": "vqa2_train_qa_pairs_per_sec_per_chip",
+        "metric": f"vqa2_{mode}_qa_pairs_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "QA-pairs/sec/chip",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_QA_PER_SEC, 2),

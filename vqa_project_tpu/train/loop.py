@@ -274,7 +274,8 @@ def evaluate(
     cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size))
     params = replicate(params, mesh)
     eval_step = build_eval_step(model, mesh, feature_cache=cache,
-                                n_answers=ds.n_answers)
+                                n_answers=ds.n_answers,
+                                return_adjacency=collect_adjacency)
     loader = Batcher(ds, batch_size, shuffle=False,
                      materialize=cache is None,
                      **_locality_kwargs(cache, ds))

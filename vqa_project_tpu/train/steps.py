@@ -175,8 +175,13 @@ def build_train_step(model, tx, mesh,
 
 def build_eval_step(model, mesh,
                     feature_cache=None,
-                    n_answers: Optional[int] = None) -> Callable:
-    """Returns eval_step(params, batch) -> (preds, score, adjacency)."""
+                    n_answers: Optional[int] = None,
+                    return_adjacency: bool = False) -> Callable:
+    """Returns eval_step(params, batch) -> (preds, score, adjacency).
+
+    adjacency is a 0-size placeholder unless return_adjacency=True —
+    returning the (B, K, K) tensor every step costs real HBM/transfer
+    bandwidth and only the visualization path wants it."""
     del mesh
     image_fn = make_image_fn(feature_cache)
 
@@ -187,6 +192,8 @@ def build_eval_step(model, mesh,
             params, question, image, qlen, train=False)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         score = score_fn(logits, batch["mask"])
+        if not return_adjacency:
+            adjacency = jnp.zeros((0,), jnp.float32)
         return preds, score, adjacency
 
     return jax.jit(step)
