@@ -200,3 +200,42 @@ def preprocess_nih(detect_pt: str, gaze_pt: str, gaze_on_detect_pt: str,
                             _load_pt(gaze_on_detect_pt))
     write_feature_artifacts(merged, "nih_", out_dir)
     return merged
+
+
+def main(argv=None):
+    """CLI covering the three medical preprocessors
+    (imageclef/preprocess_imageclef.py, mimic/preprocess_mimic.py,
+    nih/preprocess_nih.py __main__ blocks)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Medical VQA preprocessing")
+    p.add_argument("dataset", choices=["imageclef", "mimic", "nih"])
+    p.add_argument("--detect_pt", required=True)
+    p.add_argument("--gaze_pt", required=True)
+    p.add_argument("--gaze_on_detect_pt", required=True)
+    p.add_argument("--qa", nargs="+", default=[],
+                   help="imageclef: '|'-delimited QA txts; "
+                        "mimic: the all-qa-pairs csv")
+    p.add_argument("--split", default="train", choices=["train", "val"])
+    p.add_argument("--out_dir", default=".")
+    args, unparsed = p.parse_known_args(argv)
+    if unparsed:
+        raise SystemExit(f"Unknown argument: {unparsed}")
+
+    if args.dataset == "imageclef":
+        preprocess_imageclef(args.detect_pt, args.gaze_pt,
+                             args.gaze_on_detect_pt, args.qa, args.out_dir)
+    elif args.dataset == "mimic":
+        if len(args.qa) != 1:
+            raise SystemExit("mimic needs exactly one --qa csv")
+        preprocess_mimic(args.detect_pt, args.gaze_pt,
+                         args.gaze_on_detect_pt, args.qa[0], args.split,
+                         args.out_dir)
+    else:
+        preprocess_nih(args.detect_pt, args.gaze_pt,
+                       args.gaze_on_detect_pt, args.out_dir)
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()
