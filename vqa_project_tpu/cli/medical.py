@@ -19,14 +19,11 @@ run_mimic.py:208 — both copy-paste artifacts, not meaningful averages
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import List, Tuple
 
-import numpy as np
-
 from vqa_project_tpu.config import ModelConfig, TrainConfig
-from vqa_project_tpu.data import Batcher, GraphVQADataset
+from vqa_project_tpu.data import GraphVQADataset
 
 
 def medical_input_args(argv=None, *, n_obj_default=51,

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 from vqa_project_tpu.config import ModelConfig, TrainConfig
 from vqa_project_tpu.data import GraphVQADataset

@@ -21,7 +21,7 @@ import collections
 import json
 import os
 import re
-from typing import Dict, List, Optional
+from typing import List
 
 from vqa_project_tpu.data.vocab import (
     build_answer_vocab,

@@ -22,7 +22,7 @@ import itertools
 import json
 import os
 import zlib
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

@@ -23,15 +23,12 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vqa_project_tpu.ops.gaussian import gaussian_kernel_weights
-from vqa_project_tpu.ops.graph_conv import masked_graph_convolution
 from vqa_project_tpu.ops.neighbourhood import masked_neighbourhood
 
 

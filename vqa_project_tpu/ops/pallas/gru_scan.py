@@ -33,8 +33,6 @@ hs — no forward recompute. Gradient equations:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

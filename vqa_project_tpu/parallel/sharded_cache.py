@@ -19,9 +19,6 @@ pure overhead.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

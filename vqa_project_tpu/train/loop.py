@@ -20,10 +20,8 @@ from __future__ import annotations
 
 import json
 import os
-import time
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
-import jax
 import numpy as np
 
 from vqa_project_tpu.config import ModelConfig, TrainConfig

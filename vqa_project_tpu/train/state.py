@@ -15,8 +15,6 @@ to torch-free environments.
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
