@@ -133,3 +133,35 @@ def test_packed_cache_reused(data_dir):
     assert len(os.listdir(cache)) == n_before
     np.testing.assert_array_equal(
         np.asarray(ds1.store.features), np.asarray(ds2.store.features))
+
+
+def test_zarr_multi_chunk_read(tmp_path, rng):
+    """Real zarr-python artifacts may be chunked; the reader assembles
+    chunk grids (incl. ragged edge chunks and missing chunks)."""
+    import json as _json
+    import zlib
+
+    a = rng.normal(size=(10, 7)).astype(np.float32)
+    root = tmp_path / "g.zarr"
+    apath = root / "x"
+    apath.mkdir(parents=True)
+    (root / ".zgroup").write_text(_json.dumps({"zarr_format": 2}))
+    chunks = (4, 3)
+    meta = {"zarr_format": 2, "shape": [10, 7], "chunks": list(chunks),
+            "dtype": "<f4", "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0, "filters": None, "order": "C"}
+    (apath / ".zarray").write_text(_json.dumps(meta))
+    for ci in range(3):
+        for cj in range(3):
+            if (ci, cj) == (2, 2):
+                continue  # missing chunk -> fill_value
+            block = np.zeros(chunks, np.float32)
+            rows = a[ci * 4:(ci + 1) * 4, cj * 3:(cj + 1) * 3]
+            block[:rows.shape[0], :rows.shape[1]] = rows
+            (apath / f"{ci}.{cj}").write_bytes(
+                zlib.compress(block.tobytes(), 1))
+    g = open_group(str(root))
+    got = np.asarray(g["x"])
+    expected = a.copy()
+    expected[8:10, 6:7] = 0.0  # the missing chunk region
+    np.testing.assert_array_equal(got, expected)
