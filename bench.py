@@ -30,6 +30,10 @@ REFERENCE_BASELINE_QA_PER_SEC = 1000.0  # estimated; see module docstring
 def main():
     import jax
 
+    from vqa_project_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vqa_project_tpu.config import ModelConfig, TrainConfig
     from vqa_project_tpu.data import Batcher, GraphVQADataset
     from vqa_project_tpu.data.loader import prefetch_to_device

@@ -109,6 +109,9 @@ def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
 def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                      ckpt_prefix: str):
     """The nested grid-search driver (run_imageclef.py:216-242)."""
+    from vqa_project_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if len(unparsed) != 0:
         raise SystemExit("Unknown argument: {}".format(unparsed))
     if not args.train:

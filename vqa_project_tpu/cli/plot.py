@@ -37,6 +37,9 @@ def input_args(argv=None):
 
 
 def main(argv=None):
+    from vqa_project_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = input_args(argv)
 
     import flax

@@ -196,6 +196,9 @@ def _print_params(ds, args):
 
 
 def main(argv=None):
+    from vqa_project_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args, parser, unparsed = input_args(argv)
     if len(unparsed) != 0:
         raise SystemExit("Unknown argument: {}".format(unparsed))
