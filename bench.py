@@ -62,7 +62,8 @@ def main():
     from vqa_project_tpu.parallel import replicate
     from vqa_project_tpu.train.loop import make_feature_cache
 
-    mcfg = ModelConfig(compute_dtype="bfloat16")
+    mcfg = ModelConfig(compute_dtype="bfloat16",
+                       use_pallas=os.environ.get("BENCH_PALLAS") == "1")
     tcfg = TrainConfig(batch_size=bsize)
     model = build_model(mcfg, ds)
     mesh = make_mesh()
