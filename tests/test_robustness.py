@@ -1,0 +1,92 @@
+"""Robustness tests for auxiliary paths."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqa_project_tpu.data.loader import prefetch_to_device
+from vqa_project_tpu.train.metrics import MetricLogger
+
+
+def test_prefetch_propagates_worker_errors():
+    """An exception inside the producer thread must surface to the
+    consumer, not silently end the epoch."""
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    out = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for item in prefetch_to_device(gen(), lambda x: x * 2, depth=2):
+            out.append(item)
+    assert out == [2]
+
+
+def test_prefetch_put_fn_errors_surface():
+    with pytest.raises(ValueError, match="bad put"):
+        def bad_put(x):
+            raise ValueError("bad put")
+        list(prefetch_to_device(iter([1, 2]), bad_put, depth=1))
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    lg = MetricLogger(log_interval=2, jsonl_path=path, n_chips=2,
+                      batch_size=8)
+    for step in range(4):
+        lg.update(epoch=0, step=step, loss=0.5, score=4.0)
+    lg.close()
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 2
+    assert recs[0]["loss"] == pytest.approx(0.5)
+    assert recs[0]["vqa_acc"] == pytest.approx(50.0)  # 4 of 8 per step
+    assert "qa_pairs_per_sec_per_chip" in recs[0]
+
+
+def test_load_images_video(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from vqa_project_tpu.data.yolo import LoadImages
+
+    vid = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                        (64, 48))
+    ok = w.isOpened()
+    for i in range(4):
+        frame = np.full((48, 64, 3), i * 40, np.uint8)
+        w.write(frame)
+    w.release()
+    if not ok or os.path.getsize(vid) < 100:
+        pytest.skip("cv2 video writer unavailable in this build")
+
+    frames = list(LoadImages(vid, img_size=64))
+    assert len(frames) >= 3
+    path, chw, raw, cap = frames[0]
+    assert chw.shape[0] == 3
+    assert cap is not None
+
+
+def test_zarr_group_contains_and_missing_key(tmp_path, rng):
+    from vqa_project_tpu.data import ZarrWriter, open_group
+
+    w = ZarrWriter(str(tmp_path / "g.zarr"))
+    w.create_dataset("7", rng.normal(size=(3, 4)).astype(np.float32))
+    g = open_group(str(tmp_path / "g.zarr"))
+    assert "7" in g and 7 in g  # int keys coerced like zarr-python
+    assert "8" not in g
+    with pytest.raises(KeyError):
+        g["8"]
+
+
+def test_batcher_rejects_indivisible_partitions(tmp_path):
+    from vqa_project_tpu.data import Batcher, GraphVQADataset
+    from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+
+    d = str(tmp_path / "d")
+    generate_synthetic_vqa(d, n_images=4, n_questions=12, n_obj=4,
+                           feat_dim=8, q_vocab=6, n_answers=4)
+    ds = GraphVQADataset.vqa2(d, "train", n_obj=4, max_qlen=10)
+    parts = np.zeros(ds.n_questions, np.int32)
+    with pytest.raises(ValueError, match="not divisible"):
+        Batcher(ds, 10, partitions=parts, n_partitions=8)
