@@ -169,3 +169,18 @@ def test_fit_learns_with_bf16_compute(data_dir):
                        log_interval=1000)
     model, state, acc = fit(tcfg, cfg, ds)
     assert acc > 40.0, acc
+
+
+def test_training_is_deterministic(data_dir):
+    """Fixed seed -> bit-identical parameters (the reference pins
+    torch/CUDA seeds at 1000, run.py:123-127; SURVEY §4 determinism)."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    results = []
+    for _ in range(2):
+        tcfg = TrainConfig(lr=1e-3, epochs=2, batch_size=32, seed=1000,
+                           eval_interval=0, log_interval=1000)
+        _, state, _ = fit(tcfg, MODEL_CFG, ds)
+        results.append(jax.device_get(state.params))
+    for a, b in zip(jax.tree.leaves(results[0]),
+                    jax.tree.leaves(results[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
