@@ -90,3 +90,57 @@ def test_batcher_rejects_indivisible_partitions(tmp_path):
     parts = np.zeros(ds.n_questions, np.int32)
     with pytest.raises(ValueError, match="not divisible"):
         Batcher(ds, 10, partitions=parts, n_partitions=8)
+
+
+def test_pack_unpack_index_batch_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from vqa_project_tpu.data.loader import pack_index_batch
+    from vqa_project_tpu.train.steps import unpack_index_batch
+
+    b, t, s = 6, 11, 5
+    batch = {
+        "question": rng.integers(0, 50, (b, t)).astype(np.int32),
+        "qlen": rng.integers(1, t + 1, (b,)).astype(np.int32),
+        "image_row": rng.integers(0, 9, (b,)).astype(np.int32),
+        "ans_idx": rng.integers(0, 20, (b, s)).astype(np.int32),
+        "ans_score": rng.uniform(size=(b, s)).astype(np.float32),
+        "vote_idx": rng.integers(0, 20, (b, s)).astype(np.int32),
+        "vote_val": rng.uniform(size=(b, s)).astype(np.float32),
+        "mask": (rng.uniform(size=(b,)) > 0.3).astype(np.float32),
+        "qid": np.arange(b), "index": np.arange(b),
+    }
+    packed = pack_index_batch(batch)
+    assert set(packed) == {"ints", "floats"}
+    out = unpack_index_batch(
+        {k: jnp.asarray(v) for k, v in packed.items()})
+    for k in ("question", "qlen", "image_row", "ans_idx", "vote_idx"):
+        np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+    for k in ("ans_score", "vote_val", "mask"):
+        np.testing.assert_allclose(np.asarray(out[k]), batch[k])
+
+
+def test_sizes_csv_roundtrip(tmp_path):
+    from vqa_project_tpu.data.datasets import (
+        _read_sizes_csv,
+        write_sizes_csv,
+    )
+
+    sizes = {"img1": (320, 240), "img2.jpg": (640, 480)}
+    p = str(tmp_path / "s.csv")
+    write_sizes_csv(p, sizes)
+    back = _read_sizes_csv(p)
+    assert set(back) == set(sizes)
+    np.testing.assert_array_equal(back["img1"], [320.0, 240.0])
+    np.testing.assert_array_equal(back["img2.jpg"], [640.0, 480.0])
+
+
+def test_enable_compilation_cache(tmp_path):
+    import jax
+
+    from vqa_project_tpu.utils import enable_compilation_cache
+
+    d = str(tmp_path / "cache")
+    got = enable_compilation_cache(d)
+    assert got == d and os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
