@@ -184,3 +184,13 @@ def test_training_is_deterministic(data_dir):
     for a, b in zip(jax.tree.leaves(results[0]),
                     jax.tree.leaves(results[1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_feature_cache_still_learns(data_dir):
+    """Storing the device feature table in bfloat16 (half HBM) must not
+    break training."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    tcfg = TrainConfig(lr=5e-3, epochs=15, batch_size=32, eval_interval=0,
+                       log_interval=1000, feature_cache_dtype="bfloat16")
+    model, state, acc = fit(tcfg, MODEL_CFG, ds)
+    assert acc > 40.0, acc

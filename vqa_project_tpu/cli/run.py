@@ -70,6 +70,11 @@ def input_args(argv=None):
                         help="chips to use (default: all)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--feature_cache_dtype", type=str,
+                        default="float32",
+                        choices=["bfloat16", "float32"],
+                        help="dtype of the device-resident feature table "
+                             "(bfloat16 halves HBM + upload time)")
     parser.add_argument("--pallas", action="store_true",
                         help="enable the fused Pallas graph kernel")
     parser.add_argument("--synthetic", action="store_true",
@@ -90,7 +95,8 @@ def make_configs(args):
         log_interval=args.log_interval, eval_interval=args.eval_interval,
         data_dir=args.data_dir, save_dir=args.save_dir,
         plot_dir=args.plot_dir, name=args.name, model_path=args.model_path,
-        num_devices=args.num_devices, seed=args.seed)
+        num_devices=args.num_devices, seed=args.seed,
+        feature_cache_dtype=args.feature_cache_dtype)
     return mcfg, tcfg
 
 
