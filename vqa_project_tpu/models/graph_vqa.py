@@ -68,9 +68,14 @@ class WeightNormDense(nn.Module):
     features: int
     use_bias: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # dtype of the stored output: defaults to the compute dtype (half the
+    # HBM traffic on the bandwidth-bound step); pass float32 for outputs
+    # feeding precision-sensitive math (e.g. the final logits).
+    out_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_dtype = self.out_dtype or self.compute_dtype
         in_dim = x.shape[-1]
         v = self.param("v", _torch_linear_init(in_dim), (in_dim, self.features))
 
@@ -89,11 +94,11 @@ class WeightNormDense(nn.Module):
         y = jnp.dot(
             x.astype(self.compute_dtype),
             w.astype(self.compute_dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=out_dtype,
         )
         if self.use_bias:
             b = self.param("b", _torch_linear_init(in_dim), (self.features,))
-            y = y + b.astype(jnp.float32)
+            y = y + b.astype(out_dtype)
         return y
 
 
@@ -225,9 +230,15 @@ class GraphVQAModel(nn.Module):
         cfg = self.cfg
         cdt = jnp.dtype(cfg.compute_dtype)
 
-        # --- bbox centres from raw features, then polar pseudo-coords ---
+        # --- bbox centres from raw features, then polar pseudo-coords
+        #     (fp32, before any downcast) ---
         bb_centre = bbox_centres(image)
         pseudo = polar_pseudo_coords(bb_centre)          # (B, K, K, 2)
+
+        # the (B, K, 2052) feature tensor and everything built from it
+        # flow in the compute dtype: the train step is HBM-bound and
+        # these are the largest activations
+        image = image.astype(cdt)
 
         # --- feature dropout (applied to the full feat||bbox vector,
         #     matching sparse_graph_model.py:111) ---
@@ -269,12 +280,12 @@ class GraphVQAModel(nn.Module):
             qenc = gru_encode(emb, qlen, w_ih, w_hh, b_ih, b_hh,
                               compute_dtype=cdt)          # (B, H)
 
-        # --- question-conditioned adjacency ---
+        # --- question-conditioned adjacency (nodes in compute dtype:
+        #     (B, K, 3076) fp32 alone is ~113 MB/step at batch 256) ---
         k = image.shape[1]
-        qenc_rep = jnp.broadcast_to(qenc[:, None, :], (qenc.shape[0], k, h))
-        nodes = jnp.concatenate(
-            [image.astype(jnp.float32), qenc_rep], axis=-1
-        )                                                # (B, K, F+H)
+        qenc_rep = jnp.broadcast_to(
+            qenc.astype(cdt)[:, None, :], (qenc.shape[0], k, h))
+        nodes = jnp.concatenate([image, qenc_rep], axis=-1)  # (B, K, F+H)
         adjacency = GraphLearner(
             cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
         )(nodes)                                         # (B, K, K)
@@ -316,7 +327,9 @@ class GraphVQAModel(nn.Module):
                              name="out_1")(fused)
         h1 = nn.relu(h1)
         h1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(h1)
+        # logits stay fp32: they feed the softplus loss and argmax
         logits = WeightNormDense(cfg.out_dim, compute_dtype=cdt,
+                                 out_dtype=jnp.float32,
                                  name="out_2")(h1)
 
         return logits, adjacency, h_max_indices

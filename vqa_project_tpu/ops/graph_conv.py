@@ -89,13 +89,18 @@ def masked_graph_convolution(
     """
     b, k = features.shape[:2]
     prec = matmul_precision(compute_dtype)
+    # Store the big (B, K, n, d) intermediates in the COMPUTE dtype: the
+    # step is HBM-bandwidth-bound (XLA cost analysis: 7.4 GB/step at
+    # batch 256 vs 4 ms of FLOPs), and fp32 round-trips double the
+    # traffic. The MXU still accumulates fp32 internally for bf16
+    # inputs; only the stored rounding changes.
     proj = jnp.einsum("bjf,nfd->bjnd", features.astype(compute_dtype),
                       conv_kernels.astype(compute_dtype),
-                      preferred_element_type=jnp.float32,
+                      preferred_element_type=compute_dtype,
                       precision=prec)                     # (B,K,n,d)
     out = jnp.einsum("bijn,bjnd->bind",
                      edge_weights.astype(compute_dtype),
-                     proj.astype(compute_dtype),
-                     preferred_element_type=jnp.float32,
+                     proj,
+                     preferred_element_type=compute_dtype,
                      precision=prec)                      # (B,K,n,d)
     return out.reshape(b, k, -1)
