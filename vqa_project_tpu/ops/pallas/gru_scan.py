@@ -3,8 +3,9 @@
 The XLA lax.scan GRU (ops/gru.py) round-trips the (B, H) hidden state
 through HBM and pays loop overhead on every one of the T steps. This
 kernel keeps the hidden state, the (H, 3H) recurrence weights and the
-biases resident in VMEM across the whole sequence: grid=(T,), the xp
-block is the only tensor streamed per step.
+biases resident in VMEM across the whole sequence: grid=(batch_tiles, T)
+with time as the minor axis, and the xp block is the only tensor
+streamed per step (batch tiles keep VMEM under its 16 MB budget).
 
 The input projection xp[t] = emb[t] @ W_ih^T + b_ih stays in XLA (one
 big MXU matmul over all timesteps, ops/gru.py does the same).
@@ -14,8 +15,11 @@ the hidden state at each sequence's true length, so the final state
 equals the packed-sequence result.
 
 custom_vjp: the forward also emits the per-step hidden states hs, and
-the backward is a hand-derived reverse-time scan (XLA) over the saved
-hs — no forward recompute. Gradient equations:
+the backward is a hand-derived reverse-time sweep over the saved hs —
+no forward recompute. Two implementations exist: the default XLA scan
+(_bwd_xla_reference) and a Pallas reverse-sweep kernel
+(VQAX_PALLAS_GRU_BWD=1; numerically identical, measured slower on v5e
+because the per-step dhp HBM writes dominate). Gradient equations:
 
     hp = h_prev @ Wt + b,  r = s(xr+hr), z = s(xz+hz), n = tanh(xn + r*hn)
     h = (1-z)*n + z*h_prev,  h_out = keep ? h : h_prev
