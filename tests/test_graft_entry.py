@@ -1,0 +1,59 @@
+"""Driver-contract tests for __graft_entry__.py.
+
+The driver invokes these hooks in a FRESH process with NO env preparation
+(round-1 failure mode: dryrun_multichip asserted 8 devices instead of
+provisioning the virtual CPU mesh itself — MULTICHIP_r01.json ok=false).
+These tests reproduce the driver's exact invocation via subprocess so a
+regression cannot hide behind tests/conftest.py's own mesh setup.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # Strip the mesh prep conftest.py injected; the hook must self-provision.
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    return env
+
+
+def test_dryrun_multichip_self_provisions():
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=REPO, env=_clean_env(), capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_dryrun_multichip_after_backend_init():
+    # Driver variants may touch jax.devices() first; clear_backends path.
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.devices();"
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=REPO, env=_clean_env(), capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_entry_compiles():
+    # In-process is fine here: entry() is platform-agnostic.
+    import jax
+
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    logits, adjacency = jax.jit(fn)(*args)
+    assert logits.shape == (32, 3001)
+    assert adjacency.shape[1] == adjacency.shape[2]
