@@ -57,8 +57,9 @@ def test_fit_learns_synthetic_task(data_dir, tmp_path):
     # eval on val split exercises the full eval path + result.json
     val_ds = GraphVQADataset.vqa2(data_dir, "val", n_obj=8, max_qlen=10)
     rpath = str(tmp_path / "result.json")
-    acc_val, result = evaluate(model, state.params, val_ds, 32,
-                               result_path=rpath)
+    acc_val, result, adjacencies = evaluate(model, state.params, val_ds, 32,
+                                            result_path=rpath)
+    assert adjacencies is None
     assert os.path.exists(rpath)
     loaded = json.load(open(rpath))
     assert len(loaded) == val_ds.n_questions

@@ -82,7 +82,7 @@ def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
     model, state, _train_acc = fit(tcfg, mcfg, train_ds)
 
     print("Infer")
-    acc, result = evaluate(model, state.params, val_ds, args.bsize,
+    acc, result, _ = evaluate(model, state.params, val_ds, args.bsize,
                            result_path=None,
                            num_devices=args.num_devices)
     # predictions CSV rows: image_id,question,prediction,answer

@@ -17,6 +17,14 @@ def input_args(argv=None):
     parser.add_argument("--model_path", type=str, required=True)
     parser.add_argument("--data_dir", type=str, default="./data")
     parser.add_argument("--plot_dir", type=str, default="./figures")
+    parser.add_argument("--image_dir", type=str, default=None,
+                        help="directory of raw images (e.g. coco/val2014); "
+                             "figures are then drawn over the photograph")
+    parser.add_argument("--question", type=str, default=None,
+                        help="render a single (question, image_id) figure "
+                             "instead of the batch sweep (plot_given_fig)")
+    parser.add_argument("--image_id", type=str, default=None,
+                        help="disambiguate --question by image id")
     parser.add_argument("--bsize", type=int, default=32)
     parser.add_argument("--n_batches", type=int, default=4)
     parser.add_argument("--top_nodes", type=int, default=7)
@@ -42,23 +50,29 @@ def main(argv=None):
     enable_compilation_cache()
     args = input_args(argv)
 
-    import flax
-    import jax
-    import jax.numpy as jnp
-
+    from vqa_project_tpu.cli.run import restore_params
     from vqa_project_tpu.config import ModelConfig
-    from vqa_project_tpu.data import Batcher, GraphVQADataset
+    from vqa_project_tpu.data import GraphVQADataset
     from vqa_project_tpu.train.loop import build_model
     from vqa_project_tpu.train.state import load_checkpoint
-    from vqa_project_tpu.viz import visualize_checkpoint
+    from vqa_project_tpu.viz import plot_given_question, visualize_checkpoint
 
     if args.synthetic:
         from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
 
         sdir = os.path.join(args.data_dir, "synthetic")
         if not os.path.exists(os.path.join(sdir, "train_q_dict.p")):
-            generate_synthetic_vqa(sdir, with_test=True, n_obj=args.n_obj)
+            generate_synthetic_vqa(sdir, with_test=True, n_obj=args.n_obj,
+                                   with_images=True)
+        else:
+            from vqa_project_tpu.data.synthetic import (
+                ensure_synthetic_images,
+            )
+
+            ensure_synthetic_images(sdir)
         data_dir = sdir
+        if args.image_dir is None:
+            args.image_dir = os.path.join(sdir, "images")
     else:
         data_dir = args.data_dir
 
@@ -70,17 +84,21 @@ def main(argv=None):
     model = build_model(mcfg, ds)
 
     payload, _ = load_checkpoint(args.model_path)
-    sample = next(iter(Batcher(ds, 2)))
-    params = model.init(jax.random.key(0),
-                        jnp.asarray(sample["question"]),
-                        jnp.asarray(sample["image"]),
-                        jnp.asarray(sample["qlen"]))
-    params = flax.serialization.from_state_dict(params, payload["params"])
+    params = restore_params(model, ds, payload)
+
+    if args.question:
+        os.makedirs(args.plot_dir, exist_ok=True)
+        out = os.path.join(args.plot_dir, "given_question.jpg")
+        plot_given_question(
+            model, params, ds, args.question, image_id=args.image_id,
+            path=out, top_nodes=args.top_nodes, image_dir=args.image_dir)
+        print(f"figure written to {out}")
+        return
 
     out = visualize_checkpoint(
         model, params, ds, args.plot_dir, batch_size=args.bsize,
         n_batches=args.n_batches, top_nodes=args.top_nodes,
-        num_devices=args.num_devices)
+        num_devices=args.num_devices, image_dir=args.image_dir)
     print(f"figures written to {out}")
 
 

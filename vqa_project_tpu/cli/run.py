@@ -155,9 +155,26 @@ def eval_model(args):
 
 
 def test(args):
-    """Test-split result.json for EvalAI (run.py:274-341)."""
+    """Test-split result.json for EvalAI (run.py:274-341): labels are
+    unknown (all-zero votes), so no accuracy is computed or reported."""
     _run_eval(args, split="test", compute_acc=False)
     print("Testing done")
+
+
+def restore_params(model, ds, payload):
+    """Restore checkpointed params into a freshly-initialized template
+    (shape checking comes from from_state_dict). Init runs on zero
+    arrays shaped from dataset metadata — no batch materialization."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((2, ds.max_qlen), jnp.int32),
+        jnp.zeros((2, ds.n_obj, ds.feat_dim), jnp.float32),
+        jnp.ones((2,), jnp.int32))
+    return flax.serialization.from_state_dict(params, payload["params"])
 
 
 def _run_eval(args, split, compute_acc):
@@ -173,25 +190,11 @@ def _run_eval(args, split, compute_acc):
     _print_params(ds, args)
     model = build_model(mcfg, ds)
     payload, _ = load_checkpoint(args.model_path)
-    import flax
-
-    # restore into a freshly-initialized template for shape checking
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from vqa_project_tpu.data import Batcher
-
-    sample = next(iter(Batcher(ds, 2)))
-    params = model.init(jax.random.key(0),
-                        jnp.asarray(sample["question"]),
-                        jnp.asarray(sample["image"]),
-                        jnp.asarray(sample["qlen"]))
-    params = flax.serialization.from_state_dict(params, payload["params"])
-    acc, _ = evaluate(model, params, ds, args.bsize,
-                      result_path="result.json",
-                      num_devices=args.num_devices)
-    return acc
+    params = restore_params(model, ds, payload)
+    acc, _, _ = evaluate(model, params, ds, args.bsize,
+                         result_path="result.json",
+                         num_devices=args.num_devices)
+    return acc if compute_acc else None
 
 
 def _print_params(ds, args):

@@ -60,7 +60,7 @@ def main(argv=None):
     acc, result, adjacencies = evaluate(
         model, params, ds, args.bsize, result_path="result.json",
         collect_adjacency=True, num_devices=args.num_devices)
-    adjacencies = np.concatenate(adjacencies, 0)[: ds.n_questions]
+    adjacencies = np.stack([adjacencies[i] for i in sorted(adjacencies)])
     preds = [r["answer"] for r in result]
     uniq = len(set(preds))
     print(json.dumps({

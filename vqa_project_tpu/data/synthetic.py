@@ -22,6 +22,29 @@ from vqa_project_tpu.data.vocab import save_vocab
 from vqa_project_tpu.data.zarr_store import ZarrWriter
 
 
+def ensure_synthetic_images(data_dir: str, seed: int = 7) -> str:
+    """Backfill raw JPEGs for an already-generated synthetic dataset
+    (one per id in the trainval size CSV), returning the images dir."""
+    import matplotlib.pyplot as plt
+
+    from vqa_project_tpu.data.datasets import _read_sizes_csv
+
+    image_dir = os.path.join(data_dir, "images")
+    os.makedirs(image_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    sizes = _read_sizes_csv(
+        os.path.join(data_dir, "trainval_image_size.csv"))
+    for iid, wh in sizes.items():
+        path = os.path.join(image_dir, f"{iid}.jpg")
+        if os.path.exists(path):
+            continue
+        w, h = int(wh[0]), int(wh[1])
+        raster = rng.integers(0, 255, size=(h // 8, w // 8, 3),
+                              dtype=np.uint8)
+        plt.imsave(path, raster)
+    return image_dir
+
+
 def generate_synthetic_vqa(
     data_dir: str,
     n_images: int = 24,
@@ -33,9 +56,13 @@ def generate_synthetic_vqa(
     seed: int = 1000,
     splits=("train", "val"),
     with_test: bool = False,
+    with_images: bool = False,
 ) -> str:
     rng = np.random.default_rng(seed)
     os.makedirs(data_dir, exist_ok=True)
+    image_dir = os.path.join(data_dir, "images")
+    if with_images:
+        os.makedirs(image_dir, exist_ok=True)
 
     # --- image features + boxes + sizes ---
     feats = ZarrWriter(os.path.join(data_dir, "trainval.zarr"))
@@ -57,6 +84,14 @@ def generate_synthetic_vqa(
         feats.create_dataset(iid, f)
         boxes.create_dataset(iid, b)
         sizes[iid] = (w, h)
+        if with_images:
+            # small raw JPEG so the interpretability plots can draw the
+            # learned graph over a real raster (plot.py:448-453 parity)
+            import matplotlib.pyplot as plt
+
+            raster = rng.integers(0, 255, size=(h // 8, w // 8, 3),
+                                  dtype=np.uint8)
+            plt.imsave(os.path.join(image_dir, f"{iid}.jpg"), raster)
 
     from vqa_project_tpu.data.datasets import write_sizes_csv
 

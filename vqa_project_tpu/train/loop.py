@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -263,9 +263,18 @@ def evaluate(
     num_devices: Optional[int] = None,
     data_axis: str = "data",
     collect_adjacency: bool = False,
-) -> Tuple[float, List[dict]]:
-    """Sequential full-split evaluation producing the EvalAI result list
-    and the VQA accuracy (run.py:36-114 / 274-341)."""
+    max_batches: Optional[int] = None,
+) -> Tuple[float, List[dict], Optional[Dict[int, np.ndarray]]]:
+    """Sequential evaluation producing the EvalAI result list and the VQA
+    accuracy (run.py:36-114 / 274-341).
+
+    Always returns a 3-tuple (acc, result, adjacencies); adjacencies is
+    None unless collect_adjacency, else a {dataset_row: (K, K) array}
+    dict (partitioned sharded-cache batches visit rows out of order, so
+    a dict is the only order-safe container). max_batches stops after
+    that many batches — the accuracy is then over the rows actually seen
+    (visualization needs a handful of figures, not a full-split sweep).
+    """
     mesh = make_mesh(num_devices, data_axis)
     from vqa_project_tpu.config import TrainConfig as _TC
 
@@ -283,16 +292,24 @@ def evaluate(
         return shard_batch(b, mesh, data_axis)
 
     result: List[dict] = []
-    adjacencies: List[np.ndarray] = []
+    adjacencies: Optional[Dict[int, np.ndarray]] = (
+        {} if collect_adjacency else None)
     correct = 0.0
+    n_valid = 0.0
     # keep the host copy alongside the device batch: qid/mask are read on
     # host, and a D2H fetch through the tunnel costs ~20 ms each
     put_pair = lambda b: (b, put(b))
-    for host_batch, batch in prefetch_to_device(iter(loader), put_pair, 2):
+    batches = iter(loader)
+    if max_batches is not None:
+        import itertools
+
+        batches = itertools.islice(batches, max_batches)
+    for host_batch, batch in prefetch_to_device(batches, put_pair, 2):
         preds, score, adjacency = eval_step(params, batch)
         correct += float(score)
         preds = np.asarray(preds)
         mask = host_batch["mask"]
+        n_valid += float(mask.sum())
         qids = host_batch["qid"]
         for i in range(len(preds)):
             if mask[i] > 0:
@@ -301,20 +318,16 @@ def evaluate(
                     "answer": ds.a_itow[int(preds[i])],
                 })
         if collect_adjacency:
-            # keep (dataset row, adjacency) pairs: partitioned (sharded-
-            # cache) batches visit questions out of order
             adj = np.asarray(adjacency)
             idxs = host_batch["index"]
             for i in range(len(preds)):
                 if mask[i] > 0:
-                    adjacencies.append((int(idxs[i]), adj[i]))
+                    adjacencies[int(idxs[i])] = adj[i]
 
-    acc = correct / ds.n_questions * 100.0
+    # over a full pass n_valid == ds.n_questions (padded rows are mask=0),
+    # matching the reference's len(dataset) denominator (run.py:106-110)
+    acc = correct / max(n_valid, 1.0) * 100.0
     if result_path:
         with open(result_path, "w") as f:
             json.dump(result, f)
-    if collect_adjacency:
-        adjacencies.sort(key=lambda p: p[0])
-        ordered = np.stack([a for _, a in adjacencies])
-        return acc, result, [ordered]
-    return acc, result
+    return acc, result, adjacencies

@@ -151,6 +151,39 @@ def read_adj(path: str) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def resolve_image_path(image_dir: Optional[str], image_id,
+                       tasks: Sequence[str] = ("val2014", "train2014",
+                                               "test2015")) -> Optional[str]:
+    """Locate the raw image file for a dataset image_id.
+
+    Mirrors the reference's lookup conventions: COCO ids resolve to
+    COCO_{task}_{id:012d}.jpg (plot.py:448-453, 337), medical ids are
+    already '<name>.jpg' keys (torch_dataset.py:269). Returns None when
+    nothing matches (the caller then falls back to the blank canvas).
+    """
+    if not image_dir:
+        return None
+    sid = str(image_id)
+    candidates = [sid, sid + ".jpg", sid + ".png"]
+    try:
+        iid = int(image_id)
+        candidates += [f"COCO_{t}_{iid:012d}.jpg" for t in tasks]
+    except (TypeError, ValueError):
+        pass
+    for name in candidates:
+        p = os.path.join(image_dir, name)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def load_image(path: Optional[str]) -> Optional[np.ndarray]:
+    """Read an image file to an RGB array (None-propagating)."""
+    if path is None:
+        return None
+    return plt.imread(path)
+
+
 def find_question(vqa_rows: List[dict], question: str,
                   image_id: Optional[str] = None) -> Optional[int]:
     """Row index of a (question, image_id) pair (plot_mpl find_question /
@@ -165,10 +198,13 @@ def find_question(vqa_rows: List[dict], question: str,
 
 def plot_given_question(model, params, ds, question: str,
                         image_id: Optional[str] = None,
-                        path: Optional[str] = None, top_nodes: int = 7):
+                        path: Optional[str] = None, top_nodes: int = 7,
+                        image_dir: Optional[str] = None):
     """Render the learned graph for one (question, image_id) pair — the
     plot_given_fig capability (plot.py:406-453): look the question up in
-    the dataset, run a single forward pass, draw the figure."""
+    the dataset, run a single forward pass, draw the figure. With
+    image_dir the boxes/edges are drawn over the raw photograph (the
+    paper-Fig-4 reproduction, plot.py:448-453)."""
     import jax
     import jax.numpy as jnp
 
@@ -183,8 +219,10 @@ def plot_given_question(model, params, ds, question: str,
     pred = ds.a_itow[int(jax.numpy.argmax(logits[0]))]
     row = ds.vqa[idx]
     boxes = np.asarray(ds.store.boxes[t.image_row[idx]])
+    raster = load_image(resolve_image_path(image_dir, row["image_id"]))
     return plot_adjacency_graph(
         boxes, np.asarray(adjacency[0]), top_nodes=top_nodes,
+        image=raster,
         question=row["question"], prediction=pred,
         answer=row.get("answer", ""), path=path)
 
@@ -192,22 +230,29 @@ def plot_given_question(model, params, ds, question: str,
 def visualize_checkpoint(model, params, ds, out_dir: str,
                          *, batch_size: int = 32, n_batches: int = 4,
                          top_nodes: int = 7, save_npz: bool = True,
-                         num_devices: Optional[int] = None) -> str:
+                         num_devices: Optional[int] = None,
+                         image_dir: Optional[str] = None) -> str:
     """Run inference, render per-sample adjacency figures and write the
-    predictions CSV (the plot.py save_plot_nodes / plot_by_mpl driver)."""
+    predictions CSV (the plot.py save_plot_nodes / plot_by_mpl driver).
+
+    Evaluates only the n_batches it renders (max_batches) — the reference
+    also stops after the batches it plots (plot.py:230 'if step == 100').
+    The reported accuracy in summary.json is over those batches. With
+    image_dir, figures are drawn over the raw photographs."""
     from vqa_project_tpu.train.loop import evaluate
 
     os.makedirs(out_dir, exist_ok=True)
     acc, result, adjacencies = evaluate(
         model, params, ds, batch_size, result_path=None,
-        collect_adjacency=True, num_devices=num_devices)
-    adjacencies = np.concatenate(adjacencies, axis=0)[: ds.n_questions]
+        collect_adjacency=True, num_devices=num_devices,
+        max_batches=n_batches)
 
     pred_by_qid = {r["question_id"]: r["answer"] for r in result}
     rows = []
     count = 0
     limit = min(n_batches * batch_size, ds.n_questions)
-    for i in range(limit):
+    indices = sorted(adjacencies)[:limit]
+    for i in indices:
         row = ds.vqa[i]
         pred = pred_by_qid.get(int(row["question_id"]), "")
         rows.append({
@@ -218,8 +263,9 @@ def visualize_checkpoint(model, params, ds, out_dir: str,
         })
         img_row = ds.table.image_row[i]
         boxes = np.asarray(ds.store.boxes[img_row])
+        raster = load_image(resolve_image_path(image_dir, row["image_id"]))
         plot_adjacency_graph(
-            boxes, adjacencies[i], top_nodes=top_nodes,
+            boxes, adjacencies[i], top_nodes=top_nodes, image=raster,
             question=row["question"], prediction=pred,
             answer=row.get("answer", ""),
             path=os.path.join(out_dir, f"adj_{row['question_id']}.jpg"))
@@ -227,8 +273,11 @@ def visualize_checkpoint(model, params, ds, out_dir: str,
 
     save_predictions_csv(rows, os.path.join(out_dir, "infer_predictions.csv"))
     if save_npz:
-        np.savez_compressed(os.path.join(out_dir, "adjacencies.npz"),
-                            adjacency=adjacencies[:limit])
+        np.savez_compressed(
+            os.path.join(out_dir, "adjacencies.npz"),
+            adjacency=np.stack([adjacencies[i] for i in indices]),
+            index=np.asarray(indices))
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
-        json.dump({"accuracy": acc, "figures": count}, f)
+        json.dump({"accuracy": acc, "figures": count,
+                   "eval_batches": n_batches}, f)
     return out_dir
