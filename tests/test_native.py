@@ -79,6 +79,20 @@ def test_zlib_codec(rng):
     assert native_blosc_decompress(frame, arr.nbytes) == arr.tobytes()
 
 
+def test_truncated_frame_rejected_not_overread(rng):
+    """A frame whose per-split compressed sizes point past the end of the
+    input must fail cleanly (no out-of-bounds read)."""
+    arr = rng.normal(size=(36, 2048)).astype(np.float32)
+    raw = arr.tobytes()
+    frame = _compress(raw, 4)
+    # cut the payload but keep the 16-byte header + block starts intact,
+    # then lie about cbytes so the header-level check alone cannot save us
+    cut = bytearray(frame[: len(frame) // 2])
+    cut[12:16] = int(len(cut)).to_bytes(4, "little")  # cbytes = new length
+    with pytest.raises(ValueError):
+        native_blosc_decompress(bytes(cut), len(raw))
+
+
 def test_zarr_store_reads_blosc_chunks(tmp_path, rng):
     """End-to-end: a blosc-compressed zarr array (as zarr-python would
     write it) is read back by our ZarrGroup via the native decoder."""

@@ -31,6 +31,11 @@ def test_tokenize_strips_question_marks():
     toks = tokenize("What color is the dog?")
     assert toks == ["what", "color", "is", "the", "dog"]
     assert tokenize("Is it red? yes") == ["is", "it", "red", "yes"]
+    # exact reference semantics (preprocess_text.py:106-107): a standalone
+    # '?' becomes an empty-string token (counts toward qlen/vocab), and
+    # ANY token containing '?' loses its last character
+    assert tokenize("Is it red ?") == ["is", "it", "red", ""]
+    assert tokenize("wh?at") == ["wh?a"]
 
 
 def _raw_vqa_fixture(raw_dir):

@@ -116,6 +116,46 @@ def test_full_dict_checkpoint_format():
     assert tree["params"]["wembed"].shape == (CFG.vocab_size, CFG.emb_dim)
 
 
+def test_both_on_disk_formats_roundtrip(tmp_path, rng):
+    """The reference writes two .pt formats: the full dict
+    {epoch, loss, accuracy, state_dict, optimizer} consumed by train
+    resume (run.py:176-181) and the bare state_dict written by save()
+    (utils.py:44). Both must load through load_torch_checkpoint (a real
+    torch.save/torch.load round trip) and produce identical logits."""
+    from tests.test_model import CFG, make_batch
+    from vqa_project_tpu.models.torch_import import load_torch_checkpoint
+
+    sd = _make_torch_state_dict(CFG)
+
+    bare = str(tmp_path / "bare_state_dict.pt")
+    torch.save(sd, bare)
+
+    # a real torch optimizer state_dict, as run.py stores it
+    dummy = torch.nn.Linear(4, 4)
+    opt = torch.optim.Adam(dummy.parameters(), lr=1e-4)
+    opt.step()  # no grads -> empty state, but schema is real
+    full = str(tmp_path / "full_dict.pt")
+    torch.save({"epoch": 7, "loss": 0.5, "accuracy": 42.0,
+                "state_dict": sd, "optimizer": opt.state_dict()}, full)
+
+    tree_bare = load_torch_checkpoint(bare)
+    tree_full = load_torch_checkpoint(full)
+
+    flat_b = jax.tree_util.tree_leaves_with_path(tree_bare)
+    flat_f = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(tree_full)}
+    for p, v in flat_b:
+        np.testing.assert_array_equal(v, flat_f[jax.tree_util.keystr(p)])
+
+    model = GraphVQAModel(cfg=CFG)
+    q, image, qlen = make_batch(rng)
+    logits_b, _, _ = model.apply(tree_bare, q, image, qlen)
+    logits_f, _, _ = model.apply(tree_full, q, image, qlen)
+    np.testing.assert_array_equal(np.asarray(logits_b),
+                                  np.asarray(logits_f))
+    assert np.isfinite(np.asarray(logits_b)).all()
+
+
 def test_validate_parity_cli(tmp_path, monkeypatch):
     """The parity-eval CLI runs end-to-end over a synthetic dataset with
     a synthetic torch checkpoint."""

@@ -118,6 +118,48 @@ def test_image_label_dataset_cache_and_getitem(image_dir):
     assert os.path.getmtime(cache) == mtime
 
 
+def test_exif_rotated_shape_and_corrupt_detection(tmp_path):
+    """Label-cache shapes must be EXIF-orientation-corrected
+    (yolo_datasets.py:43-55) and corrupt files must raise (:472-475)."""
+    from PIL import Image
+
+    from vqa_project_tpu.data.yolo.loaders import exif_size
+
+    imgd = tmp_path / "images"
+    lbld = tmp_path / "labels"
+    imgd.mkdir()
+    lbld.mkdir()
+    # 200x100 (w x h) image tagged rotation=6 -> effective size 100x200
+    im = Image.new("RGB", (200, 100))
+    ex = Image.Exif()
+    ex[0x0112] = 6
+    im.save(str(imgd / "rot.jpg"), exif=ex)
+    (lbld / "rot.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+
+    with Image.open(str(imgd / "rot.jpg")) as img:
+        assert exif_size(img) == (100, 200)
+
+    ds = ImageLabelDataset(str(imgd), img_size=64, augment=False)
+    assert tuple(ds.shapes[0]) == (100.0, 200.0)
+
+    # corrupt image -> AssertionError while building the cache
+    (imgd / "bad.jpg").write_bytes(b"\xff\xd8 not a real jpeg")
+    (lbld / "bad.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    with pytest.raises(AssertionError, match="corrupt image"):
+        ImageLabelDataset(str(imgd), img_size=64, augment=False)
+
+
+def test_webcam_pipe_parses_without_eval():
+    """'0'.isnumeric() pipes must parse via int(), not eval()."""
+    from vqa_project_tpu.data.yolo.loaders import LoadWebcam
+
+    try:
+        cam = LoadWebcam("0", img_size=64)
+    except Exception:
+        pytest.skip("no camera device in CI")
+    assert cam.pipe == 0
+
+
 def test_augmented_pipeline_and_infinite_batcher(image_dir):
     hyp = {"mosaic": 1.0, "mixup": 0.5, "fliplr": 0.5, "flipud": 0.2,
            "cutout": 0.5, "scale": 0.3}

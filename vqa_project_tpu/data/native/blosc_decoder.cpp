@@ -167,6 +167,9 @@ extern "C" int vqax_blosc_decompress(const uint8_t* src, size_t srclen,
       if (bsrc + 4 > src + srclen) return -4;
       const int32_t scbytes = static_cast<int32_t>(le32(bsrc));
       bsrc += 4;
+      // a truncated/corrupt frame may claim more compressed bytes than
+      // remain in the input; every codec below reads scbytes from bsrc
+      if (scbytes < 0 || bsrc + scbytes > src + srclen) return -4;
       uint8_t* sout = bout + s * neblock;
       if (scbytes == neblock) {  // stored uncompressed
         if (bsrc + neblock > src + srclen) return -4;

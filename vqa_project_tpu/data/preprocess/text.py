@@ -8,10 +8,10 @@ vqa_{phase}_final_{n}.json with per-question
 answers_w_scores = [(answer, votes/accepted_votes)].
 
 Tokenization uses spacy's blank-vocab Tokenizer when spacy is installed
-(the reference's exact behaviour, preprocess_text.py:32-33); otherwise a
-rule-based fallback approximating spacy's default prefix/suffix splitting
-for the ASCII punctuation that occurs in VQA questions. Trailing '?' is
-stripped from tokens in both paths (preprocess_text.py:106-107).
+(the reference's exact construction, preprocess_text.py:32-33); otherwise
+a plain whitespace split, which is what the blank tokenizer does on these
+inputs. The reference's '?' handling is replicated exactly — see
+tokenize() below.
 """
 
 from __future__ import annotations
@@ -20,7 +20,6 @@ import argparse
 import collections
 import json
 import os
-import re
 from typing import List
 
 from vqa_project_tpu.data.vocab import (
@@ -38,19 +37,23 @@ try:
 except Exception:  # pragma: no cover - spacy not in this image
     _TOKENIZER = None
 
-# fallback: split off leading/trailing punctuation, keep contractions
-# attached (spacy's blank Tokenizer does not split "what's")
-_FALLBACK_RE = re.compile(r"[^\s\"\(\)\[\]\{\},.;:!?]+|[\"\(\)\[\]\{\},.;:!?]")
-
 
 def tokenize(text: str) -> List[str]:
+    """Exact reference tokenization (preprocess_text.py:106-107): a blank
+    spacy Tokenizer(vocab) splits on whitespace only, then any token
+    containing '?' loses its LAST character — so a standalone '?' becomes
+    an empty-string token that enters the question vocab and counts
+    toward qlen. Replicated bug-for-bug: regenerated artifacts must match
+    reference-produced ones (qlen indexes the GRU's final hidden state,
+    so a one-token divergence breaks checkpoint parity). The no-spacy
+    fallback is a plain whitespace split, which is what the blank spacy
+    tokenizer does for these inputs."""
     text = text.lower()
     if _TOKENIZER is not None:
         toks = [t.text for t in _TOKENIZER(text)]
     else:
-        toks = _FALLBACK_RE.findall(text)
-    return [t[:-1] if "?" in t and t.endswith("?") and len(t) > 1
-            else t for t in toks if t != "?"]
+        toks = text.split()
+    return [t[:-1] if "?" in t else t for t in toks]
 
 
 def combine_qa(questions: dict, annotations: List[dict],

@@ -42,6 +42,22 @@ from vqa_project_tpu.data.yolo.augment import (
 IMG_FORMATS = ("bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp")
 VID_FORMATS = ("mov", "avi", "mp4", "mpg", "mpeg", "m4v", "wmv", "mkv")
 
+_EXIF_ORIENTATION = 0x0112  # TIFF Orientation tag
+
+
+def exif_size(img) -> Tuple[int, int]:
+    """EXIF-orientation-corrected (w, h) of a PIL image
+    (yolo_datasets.py:43-55): orientations 6 (270deg) and 8 (90deg) swap
+    the stored axes, so label-cache shapes must swap too or every
+    rect-bucketing ratio on such photos is wrong."""
+    w, h = img.size
+    try:
+        if img.getexif().get(_EXIF_ORIENTATION) in (6, 8):
+            w, h = h, w
+    except Exception:
+        pass
+    return w, h
+
 
 def img2label_paths(img_paths: Sequence[str]) -> List[str]:
     """.../images/x.jpg -> .../labels/x.txt (yolo_datasets.py:34-37)."""
@@ -117,7 +133,7 @@ class LoadWebcam:
                  stride: int = 32):
         self.img_size = img_size
         self.stride = stride
-        self.pipe = eval(pipe) if pipe.isnumeric() else pipe
+        self.pipe = int(pipe) if pipe.isnumeric() else pipe
         self.cap = cv2.VideoCapture(self.pipe)
         self.cap.set(cv2.CAP_PROP_BUFFERSIZE, 3)
 
@@ -149,7 +165,7 @@ class LoadStreams:
         self.imgs = [None] * len(self.sources)
         self.threads = []
         for i, s in enumerate(self.sources):
-            cap = cv2.VideoCapture(eval(s) if s.isnumeric() else s)
+            cap = cv2.VideoCapture(int(s) if s.isnumeric() else s)
             if not cap.isOpened():
                 raise ConnectionError(f"Failed to open {s}")
             _, self.imgs[i] = cap.read()
@@ -266,9 +282,19 @@ class ImageLabelDataset:
                 return list(z["labels"]), z["shapes"]
         labels, shapes = [], []
         for imgf, lblf in zip(self.img_files, self.label_files):
-            img = cv2.imread(imgf)
-            assert img is not None, f"corrupt image {imgf}"
-            shapes.append(img.shape[:2][::-1])  # (w, h)
+            # PIL reads (w, h) from the header without decoding pixels;
+            # verify() is the corrupt-image check (yolo_datasets.py:472-475)
+            # and exif_size the EXIF-rotation correction (:43-55).
+            from PIL import Image
+
+            try:
+                with Image.open(imgf) as img:
+                    wh = exif_size(img)
+                    img.verify()
+            except Exception as e:
+                raise AssertionError(f"corrupt image {imgf}: {e}") from e
+            assert wh[0] > 9 and wh[1] > 9, f"image <10 pixels {imgf}"
+            shapes.append(wh)
             lb = np.zeros((0, 5), np.float32)
             if os.path.exists(lblf):
                 with open(lblf) as f:
