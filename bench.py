@@ -8,12 +8,14 @@ loss) over the packed ingest path on synthetic data with real shapes, and
 reports steady-state QA-pairs/sec/chip end-to-end (host batch assembly +
 H2D + step).
 
-Baseline: the PyTorch reference publishes no throughput numbers
-(BASELINE.md). vs_baseline is computed against an estimated 1000
-QA-pairs/sec for the reference's single-GPU training loop — a generous
-estimate given its per-step host syncs (loss.item(), K sync at
-sparse_graph_model.py:103), per-item python zarr reads across 4 workers,
-and per-kernel python-loop Linears. The BASELINE.json target is >=5x.
+Baseline: the PyTorch reference publishes no throughput numbers and
+hard-requires CUDA (run.py:50-53), so its number is DERIVED, not guessed:
+tools/baseline_reference.py re-implements its exact per-step op sequence
+in stock torch, measures the host-side terms on this box, and computes an
+analytical GPU roofline (2080Ti-class fp32, every term generous to the
+reference). Result: 2690 QA-pairs/sec at bs 256, FLOPs-bound at 79 ms of
+fwd+bwd GEMMs per step. Full derivation + measured terms: BASELINE.md
+"Derived throughput baseline". The BASELINE.json target is >=5x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,7 +26,9 @@ import sys
 import tempfile
 import time
 
-REFERENCE_BASELINE_QA_PER_SEC = 1000.0  # estimated; see module docstring
+# GPU-roofline of the reference at bs 256; derivation in BASELINE.md and
+# tools/baseline_reference.py (rounded up — generous to the reference).
+REFERENCE_BASELINE_QA_PER_SEC = 2700.0
 
 
 def main():

@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Defended throughput baseline for the PyTorch reference.
+
+The reference (/root/reference) hard-requires CUDA (run.py:50-53) and no
+GPU exists on this box, so its training throughput cannot be measured
+directly. This script constructs a defensible number two ways and prints
+both, so BASELINE.md / bench.py can cite a derivation instead of a guess:
+
+1. MEASURED floor — the reference's exact per-step op sequence
+   (trainval hot loop, run.py:421-460) re-implemented op-for-op in stock
+   torch and timed on this host's CPU: packed GRU (sparse_graph_model.py
+   :117-121), weight-norm graph learner + E@E^T (layers.py:174-197),
+   topk + per-row softmax + double gather (sparse_graph_model.py:197-242),
+   two gather-based Gaussian graph convolutions with the python loop over
+   n_kernels Linears (layers.py:72-144), max-pool/fusion/classifier
+   (sparse_graph_model.py:150-157), MultiLabelSoftMarginLoss (run.py:165),
+   the per-sample .item() loop of total_vqa_score (utils.py:47-55), the
+   3x loss.item() of the hot loop (run.py:435-439), and
+   zero_grad/backward/Adam step (run.py:458-460).
+
+2. DERIVED GPU roofline — an analytical best case for the same step on a
+   2080Ti-class fp32 GPU (the strongest hardware plausibly behind the
+   2021-era reference; assumptions are explicit constants below and every
+   term is GENEROUS to the reference):
+     t_step = t_H2D + max(t_FLOPs, t_HBM) + t_syncs + t_host
+   - t_H2D: batch_to_cuda (utils.py:22-31) uploads the DENSE feature
+     batch every step (no device-side cache exists in the reference).
+   - t_FLOPs: analytic MAC count of the forward, x3 for fwd+bwd.
+   - t_HBM: traffic of the big gather/scatter activation tensors the
+     sparse formulation materializes ((B,K,m,F) neighbourhoods).
+   - t_syncs: total_vqa_score does one .item() PER SAMPLE per step
+     (utils.py:51-54) + 3x loss.item() + the K sync
+     (sparse_graph_model.py:103); each is a blocking D2H round trip.
+   - t_host: python dispatch of the ~150-op step graph (measured here by
+     running the op sequence on 1-element tensors).
+   Ignored entirely (all would slow the reference further): per-item
+   python zarr reads in the DataLoader, optimizer-state HBM traffic,
+   kernel-launch gaps of the 16 small per-kernel Linears.
+
+Usage: python tools/baseline_reference.py [--bsize 256] [--steps 3]
+Prints one JSON line with both numbers and every term of the derivation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+# --- GPU roofline assumptions (documented constants, generous) ---------
+GPU_FP32_TFLOPS = 13.45      # RTX 2080 Ti peak fp32
+GPU_GEMM_EFFICIENCY = 0.55   # sustained/peak for these (small-K) shapes
+GPU_HBM_GBPS = 616.0         # 2080 Ti memory bandwidth
+PCIE_GBPS = 12.0             # PCIe 3.0 x16 effective H2D
+SYNC_LATENCY_S = 8e-6        # one cudaMemcpy D2H round trip (.item())
+
+
+class ReferenceModel(torch.nn.Module):
+    """Op-for-op trainable re-implementation of the reference forward
+    (sparse gather formulation, NOT our dense-masked TPU design)."""
+
+    def __init__(self, vocab=13_000, emb=300, feat=2052, hid=1024,
+                 out=3001, n_kernels=8, m=16, k=36, combined=512):
+        super().__init__()
+        self.m, self.k = m, k
+        self.wembed = torch.nn.Embedding(vocab, emb)
+        self.gru = torch.nn.GRU(input_size=emb, hidden_size=hid)
+        wn = torch.nn.utils.weight_norm
+        self.edge1 = wn(torch.nn.Linear(feat + hid, combined))
+        self.edge2 = wn(torch.nn.Linear(combined, combined))
+        self.conv1 = torch.nn.ModuleList(
+            [torch.nn.Linear(feat, 2 * hid // n_kernels, bias=False)
+             for _ in range(n_kernels)])
+        self.conv2 = torch.nn.ModuleList(
+            [torch.nn.Linear(2 * hid, hid // n_kernels, bias=False)
+             for _ in range(n_kernels)])
+        for conv in ("c1", "c2"):
+            for p in ("mr", "mt", "pr", "pt"):
+                setattr(self, f"{conv}_{p}",
+                        torch.nn.Parameter(torch.rand(n_kernels)))
+        self.out1 = wn(torch.nn.Linear(hid, out))
+        self.out2 = wn(torch.nn.Linear(out, out))
+
+    def _gaussian(self, pseudo, conv):
+        rho, theta = pseudo[..., 0:1], pseudo[..., 1:2]
+        mr, mt = getattr(self, f"{conv}_mr"), getattr(self, f"{conv}_mt")
+        pr, pt = getattr(self, f"{conv}_pr"), getattr(self, f"{conv}_pt")
+        wr = torch.exp(-0.5 * (rho - mr) ** 2 / (1e-14 + pr ** 2))
+        d = torch.abs(theta - mt)
+        d = torch.minimum(d, torch.abs(2 * torch.pi - d))
+        wt = torch.exp(-0.5 * d ** 2 / (1e-14 + pt ** 2))
+        w = torch.nan_to_num(wr * wt, nan=0.0)
+        return w / w.sum(-1, keepdim=True)
+
+    def forward(self, q, image, qlen):
+        b, k, _ = image.shape
+        emb = self.wembed(q)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb, qlen, batch_first=True, enforce_sorted=False)
+        _, hid = self.gru(packed)
+        qenc = hid[0]
+        h = qenc.shape[-1]
+
+        bb = image[..., -4:]
+        centre = bb[..., :2] + 0.5 * (bb[..., 2:] - bb[..., :2])
+        diff = centre[:, :, None, :] - centre[:, None, :, :]
+        pseudo = torch.stack(
+            [torch.sqrt(diff[..., 0] ** 2 + diff[..., 1] ** 2),
+             torch.atan2(diff[..., 0], diff[..., 1])], dim=-1)
+
+        nodes = torch.cat([image, qenc[:, None, :].expand(b, k, h)], -1)
+        e = F.relu(self.edge2(F.relu(self.edge1(nodes))))
+        adjacency = e @ e.transpose(1, 2)
+
+        m = self.m
+        vals, idx = torch.topk(adjacency, m, dim=-1)
+        alpha = F.softmax(vals, dim=-1)
+
+        def gather(t):
+            return torch.gather(
+                t.unsqueeze(1).expand(b, k, k, t.shape[-1]), 2,
+                idx.unsqueeze(-1).expand(b, k, m, t.shape[-1]))
+
+        npseudo = torch.gather(
+            pseudo, 2, idx.unsqueeze(-1).expand(b, k, m, 2))
+
+        neigh = gather(image) * alpha.unsqueeze(-1)
+        gw = self._gaussian(npseudo, "c1")
+        agg = torch.einsum("bkmn,bkmf->bknf", gw, neigh)
+        hg = F.relu(torch.cat(
+            [lin(agg[:, :, i]) for i, lin in enumerate(self.conv1)], -1))
+
+        neigh = gather(hg)
+        gw = self._gaussian(npseudo, "c2")
+        agg = torch.einsum("bkmn,bkmf->bknf", gw, neigh)
+        hg = F.relu(torch.cat(
+            [lin(agg[:, :, i]) for i, lin in enumerate(self.conv2)], -1))
+
+        pooled = hg.max(dim=1).values
+        fused = F.relu(qenc) * pooled
+        return self.out2(F.relu(self.out1(fused))), adjacency
+
+
+def run_step(model, opt, criterion, batch):
+    """One reference hot-loop step incl. its host syncs
+    (run.py:427-460)."""
+    q, image, qlen, a, votes = batch
+    out, adjacency = model(q, image, qlen)
+    loss = criterion(out, a)
+    # total_vqa_score: one .item() per sample (utils.py:51-54)
+    _, oix = out.data.max(1)
+    score = 0.0
+    for i, pred in enumerate(oix):
+        score += min(votes[i, pred].item() / 3, 1)
+    _ = loss.item(), loss.item(), loss.item()  # run.py:435,438,439
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    return loss
+
+
+def make_batch(b, k=36, feat=2052, t=14, vocab=13_000, out=3001, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    q = torch.randint(1, vocab, (b, t), generator=g)
+    image = torch.randn(b, k, feat, generator=g)
+    qlen = torch.full((b,), t, dtype=torch.long)
+    a = torch.zeros(b, out)
+    a[torch.arange(b), torch.randint(0, out, (b,), generator=g)] = 1.0
+    votes = a * 10
+    return q, image, qlen, a, votes
+
+
+def measure_cpu(bsize, steps):
+    model = ReferenceModel()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    criterion = torch.nn.MultiLabelSoftMarginLoss()
+    batch = make_batch(bsize)
+    run_step(model, opt, criterion, batch)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        run_step(model, opt, criterion, batch)
+    dt = (time.perf_counter() - t0) / steps
+    return dt
+
+
+def measure_host_dispatch(steps=20):
+    """Python-side op-dispatch time of one step, via a tiny model and a
+    1-element batch: all tensor/optimizer work is ~free (tiny dims, same
+    op COUNT — n_kernels stays 8), what remains is the python the host
+    must execute per step regardless of device speed."""
+    model = ReferenceModel(vocab=50, emb=8, feat=20, hid=16, out=24,
+                           m=2, k=2, combined=8)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    criterion = torch.nn.MultiLabelSoftMarginLoss()
+    batch = make_batch(1, k=2, feat=20, vocab=50, out=24)
+    run_step(model, opt, criterion, batch)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        run_step(model, opt, criterion, batch)
+    return (time.perf_counter() - t0) / steps
+
+
+def measure_cpu_gemm(n=1024, iters=8):
+    a = torch.randn(n, n)
+    b = torch.randn(n, n)
+    a @ b
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a @ b
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n ** 3 / dt / 1e9  # GFLOP/s
+
+
+def analytic_terms(b, k=36, m=16, feat=2052, hid=1024, emb=300,
+                   out=3001, n=8, t=14, combined=512):
+    """Per-step FLOPs / HBM / H2D of the reference formulation."""
+    macs = 0
+    macs += t * 3 * hid * (emb + hid)          # GRU scan
+    macs += k * (feat + hid) * combined        # edge_layer_1
+    macs += k * combined * combined            # edge_layer_2
+    macs += k * k * combined                   # E @ E^T
+    macs += k * m * n * feat + k * feat * 2 * hid        # conv1 agg+lin
+    macs += k * m * n * 2 * hid + k * 2 * hid * hid      # conv2 agg+lin
+    macs += hid * out + out * out              # classifier
+    flops_fwd = 2 * macs * b
+    flops_train = 3 * flops_fwd                # bwd ~ 2x fwd
+
+    f32 = 4
+    # dominant gather/activation tensors, read+write each, x2 for bwd
+    hbm = 0
+    for width in (feat, 2 * hid):              # conv1 / conv2 neighbourhood
+        nbytes = b * k * m * width * f32
+        hbm += 3 * nbytes                      # gather write + mul r/w
+        hbm += 2 * nbytes                      # einsum read + grad write
+    hbm += b * k * k * (feat + hid) * 0        # (nodes cat reused, skip)
+    hbm *= 2                                   # backward re-touches these
+    # Adam over ~28M params: p, g, m, v reads + p, m, v writes
+    n_params = (13_000 * emb + 3 * hid * (emb + hid)
+                + (feat + hid) * combined + combined * combined
+                + feat * 2 * hid + 2 * hid * hid
+                + hid * out + out * out)
+    hbm += 7 * n_params * f32
+    # dense H2D every step: q(int64) + a + votes + image (utils.py:22-31)
+    h2d = b * (100 * 8 + out * f32 * 2 + k * feat * f32)
+    return flops_train, hbm, h2d
+
+
+def roofline(b, host_s):
+    flops, hbm, h2d = analytic_terms(b)
+    t_flops = flops / (GPU_FP32_TFLOPS * 1e12 * GPU_GEMM_EFFICIENCY)
+    t_hbm = hbm / (GPU_HBM_GBPS * 1e9)
+    t_h2d = h2d / (PCIE_GBPS * 1e9)
+    t_sync = (b + 4) * SYNC_LATENCY_S  # per-sample .item() + loss/K syncs
+    t_step = t_h2d + max(t_flops, t_hbm) + t_sync + host_s
+    return {
+        "flops_per_step": flops, "hbm_bytes_per_step": hbm,
+        "h2d_bytes_per_step": h2d,
+        "t_flops_ms": round(t_flops * 1e3, 2),
+        "t_hbm_ms": round(t_hbm * 1e3, 2),
+        "t_h2d_ms": round(t_h2d * 1e3, 2),
+        "t_sync_ms": round(t_sync * 1e3, 2),
+        "t_host_ms": round(host_s * 1e3, 2),
+        "t_step_ms": round(t_step * 1e3, 2),
+        "qa_per_sec": round(b / t_step, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bsize", type=int, default=256)
+    p.add_argument("--steps", type=int, default=3)
+    args = p.parse_args()
+
+    torch.manual_seed(0)
+    host_s = measure_host_dispatch()
+    gemm = measure_cpu_gemm()
+    dt = measure_cpu(args.bsize, args.steps)
+    rl = roofline(args.bsize, host_s)
+    print(json.dumps({
+        "bsize": args.bsize,
+        "cpu_cores": len(__import__("os").sched_getaffinity(0)),
+        "cpu_gemm_gflops": round(gemm, 1),
+        "cpu_step_s": round(dt, 3),
+        "cpu_qa_per_sec": round(args.bsize / dt, 1),
+        "host_dispatch_ms": round(host_s * 1e3, 2),
+        "gpu_assumptions": {
+            "fp32_tflops": GPU_FP32_TFLOPS,
+            "gemm_efficiency": GPU_GEMM_EFFICIENCY,
+            "hbm_gbps": GPU_HBM_GBPS, "pcie_gbps": PCIE_GBPS,
+            "sync_latency_us": SYNC_LATENCY_S * 1e6,
+        },
+        "gpu_roofline": rl,
+    }))
+
+
+if __name__ == "__main__":
+    main()
