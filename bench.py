@@ -32,6 +32,20 @@ REFERENCE_BASELINE_QA_PER_SEC = 2700.0
 
 
 def main():
+    # scale/mode knobs (defaults reproduce the headline number):
+    #   BENCH_N_IMAGES   size of the synthetic feature table (96 -> 28 MB;
+    #                    raise until it exceeds device_cache_bytes to
+    #                    exercise host streaming / the sharded cache)
+    #   BENCH_CACHE      auto|device|host|sharded — force the feature-
+    #                    cache mode instead of the HBM-budget heuristic
+    #   BENCH_FORCE_CPU_DEVICES=N — run on an N-device virtual CPU mesh
+    #                    (how the sharded-cache row is measured on a
+    #                    1-chip box)
+    n_cpu = os.environ.get("BENCH_FORCE_CPU_DEVICES")
+    if n_cpu:
+        from __graft_entry__ import _ensure_devices
+
+        _ensure_devices(int(n_cpu))
     import jax
 
     from vqa_project_tpu.utils import enable_compilation_cache
@@ -50,30 +64,48 @@ def main():
     n_chips = len(jax.devices())
     bsize = int(os.environ.get("BENCH_BSIZE", 256)) * n_chips
     mode = os.environ.get("BENCH_MODE", "train")  # train | eval
+    cache_mode = os.environ.get("BENCH_CACHE", "auto")
+    n_images = int(os.environ.get("BENCH_N_IMAGES", 96))
 
     # synthetic dataset at real VQA v2 dimensions
     data_dir = os.environ.get("BENCH_DATA_DIR")
     if not data_dir:
-        data_dir = os.path.join(tempfile.gettempdir(), "vqa_bench_data")
+        suffix = "" if n_images == 96 else f"_{n_images}"
+        data_dir = os.path.join(tempfile.gettempdir(),
+                                f"vqa_bench_data{suffix}")
     if not os.path.exists(os.path.join(data_dir, "train_q_dict.p")):
         print("generating synthetic benchmark dataset...", file=sys.stderr)
         generate_synthetic_vqa(
-            data_dir, n_images=96, n_questions=max(4 * bsize, 4096),
+            data_dir, n_images=n_images, n_questions=max(4 * bsize, 4096),
             n_obj=36, feat_dim=2048, q_vocab=13_000, n_answers=3000,
             seed=7)
     ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=36, max_qlen=16)
 
     from vqa_project_tpu.parallel import replicate
-    from vqa_project_tpu.train.loop import make_feature_cache
+    from vqa_project_tpu.train.loop import _locality_kwargs, make_feature_cache
 
     mcfg = ModelConfig(compute_dtype="bfloat16",
                        use_pallas=os.environ.get("BENCH_PALLAS") == "1")
     tcfg = TrainConfig(batch_size=bsize)
+    if cache_mode != "auto":
+        # force the cache mode by steering the HBM-budget heuristic
+        import dataclasses
+
+        nbytes = ds.store.features.size * 4 + ds.store.boxes.nbytes
+        budget = {"device": 1 << 44, "host": 0,
+                  "sharded": int(nbytes / max(n_chips, 1) * 1.5)}[cache_mode]
+        if cache_mode == "sharded":
+            assert n_chips > 1, "sharded cache needs a multi-chip mesh " \
+                "(set BENCH_FORCE_CPU_DEVICES=8 on a 1-chip box)"
+            assert budget < nbytes, "table too small to force sharding; " \
+                "raise BENCH_N_IMAGES"
+        tcfg = dataclasses.replace(tcfg, device_cache_bytes=budget)
     model = build_model(mcfg, ds)
     mesh = make_mesh()
     cache = make_feature_cache(ds, mesh, tcfg)
     loader = Batcher(ds, bsize, shuffle=True, drop_last=True,
-                     materialize=cache is None)
+                     materialize=cache is None,
+                     **_locality_kwargs(cache, ds))
     tx = make_optimizer(tcfg, len(loader))
     sample = next(iter(Batcher(ds, bsize)))
     state = create_train_state(model, model.cfg, tx, sample, seed=0)
@@ -122,11 +154,17 @@ def main():
 
     qa_per_sec = target_steps * bsize / dt
     per_chip = qa_per_sec / n_chips
+    cache_kind = ("sharded" if type(cache).__name__ == "ShardedFeatureCache"
+                  else "device" if cache is not None else "host")
     print(f"steps={target_steps} bsize={bsize} chips={n_chips} "
+          f"cache={cache_kind} images={n_images} "
           f"time={dt:.3f}s loss={float(m['loss']):.4f} "
           f"total={qa_per_sec:.0f} qa/s", file=sys.stderr)
+    metric = f"vqa2_{mode}_qa_pairs_per_sec_per_chip"
+    if cache_mode != "auto":
+        metric += f"_{cache_kind}_cache"
     print(json.dumps({
-        "metric": f"vqa2_{mode}_qa_pairs_per_sec_per_chip",
+        "metric": metric,
         "value": round(per_chip, 1),
         "unit": "QA-pairs/sec/chip",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_QA_PER_SEC, 2),

@@ -80,6 +80,66 @@ def test_locality_batcher_covers_every_question_once(data_dir):
             assert (owner[m] == c).all()
 
 
+def test_fit_with_uneven_pools_and_multiple_partitions(tmp_path):
+    """Stress the sharded-cache path end-to-end through fit():
+    - several locality segments per chip per epoch (pools >> batch/chips)
+    - chips owning images that back ZERO questions (empty pools) —
+      their batch slices are mask=0 padding the loss must ignore.
+    """
+    import json
+    import os
+
+    d = str(tmp_path / "data")
+    generate_synthetic_vqa(d, n_images=24, n_questions=480,
+                           n_obj=N_OBJ, feat_dim=FEAT, q_vocab=16,
+                           n_answers=8)
+    # restrict every question to the images owned by chips 0-2
+    # (packed row order == generation order; shard_size = 24/8 = 3)
+    path = os.path.join(d, "vqa_train_final_3000.json")
+    rows = json.load(open(path))
+    owned = {str(100 + i) for i in range(9)}
+    rows = [r for r in rows if r["image_id"] in owned]
+    assert len(rows) >= 100
+    json.dump(rows, open(path, "w"))
+
+    ds = GraphVQADataset.vqa2(d, "train", n_obj=N_OBJ, max_qlen=10)
+    mesh = make_mesh(8)
+    table_bytes = (np.asarray(ds.store.features).nbytes
+                   + np.asarray(ds.store.boxes).nbytes)
+    tcfg = TrainConfig(lr=5e-3, epochs=8, batch_size=32, eval_interval=0,
+                       log_interval=1000, num_devices=8,
+                       device_cache_bytes=table_bytes // 2)
+    cache = make_feature_cache(ds, mesh, tcfg)
+    assert isinstance(cache, ShardedFeatureCache)
+    assert cache.shard_size == 3
+
+    # pool shape assertions: chips 3-7 empty, chips 0-2 with many
+    # segments per epoch (per-chip slice is 32/8 = 4 rows)
+    parts = cache.partitions()[ds.table.image_row]
+    loader = Batcher(ds, 32, shuffle=True, seed=5, materialize=False,
+                     partitions=parts, n_partitions=8)
+    pool_sizes = [len(p) for p in loader._pools]
+    assert pool_sizes[3:] == [0] * 5
+    assert min(pool_sizes[:3]) > 8  # > 2 segments per chip per epoch
+    assert len(loader) > 4
+
+    # coverage: every question exactly once per epoch despite padding
+    seen = []
+    for batch in loader:
+        seen.extend(batch["index"][batch["mask"] > 0].tolist())
+    assert sorted(seen) == list(range(ds.n_questions))
+
+    model, state, acc = fit(tcfg, mcfg_small(), ds)
+    assert np.isfinite(acc)
+    assert acc > 40.0, acc
+
+
+def mcfg_small():
+    return ModelConfig(emb_dim=24, hid_dim=32, combined_dim=16,
+                       n_kernels=4, neighbourhood_size=4, dropout=0.1,
+                       max_qlen=10, compute_dtype="float32")
+
+
 def test_training_with_sharded_cache_learns(data_dir, tmp_path):
     """End-to-end fit() with the cache forced into sharded mode."""
     ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)

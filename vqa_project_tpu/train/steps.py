@@ -63,26 +63,32 @@ def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
 
 
 def make_image_fn(feature_cache):
-    """Normalize the cache argument into rows -> (B, K, F+4) or None.
+    """Normalize the cache argument into (image_fn, cache_arrays).
 
     feature_cache is either None (host mode), a (features, boxes) tuple
     of replicated device arrays, or a ShardedFeatureCache (mesh-sharded
-    table + communication-free shard_map gather)."""
-    if feature_cache is None:
-        return None
-    if isinstance(feature_cache, tuple):
-        features, boxes = feature_cache
+    table + communication-free shard_map gather).
 
-        def image_fn(rows):
+    The table arrays are returned SEPARATELY and must be passed to
+    image_fn(cache_arrays, rows) as jit ARGUMENTS — closing over them
+    would bake the multi-GB table into the compiled program as a
+    constant (the axon remote-compile tunnel rejects such payloads with
+    HTTP 413, and XLA may duplicate constants in HBM)."""
+    if feature_cache is None:
+        return None, ()
+    if isinstance(feature_cache, tuple):
+
+        def image_fn(cache, rows):
+            features, boxes = cache
             f = jnp.take(features, rows, axis=0)
             b = jnp.take(boxes, rows, axis=0)
             return jnp.concatenate([f.astype(jnp.float32), b], axis=-1)
 
-        return image_fn
+        return image_fn, feature_cache
 
     gather = feature_cache.gather_fn()
-    features, boxes = feature_cache.features, feature_cache.boxes
-    return lambda rows: gather(features, boxes, rows)
+    arrays = (feature_cache.features, feature_cache.boxes)
+    return (lambda cache, rows: gather(cache[0], cache[1], rows)), arrays
 
 
 def unpack_index_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -102,7 +108,7 @@ def unpack_index_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     }
 
 
-def _assemble_inputs(batch: Dict[str, jax.Array], image_fn,
+def _assemble_inputs(batch: Dict[str, jax.Array], image_fn, cache,
                      n_answers: Optional[int]):
     """Return (question, image, qlen, answers_fn, score_fn)."""
     if "ints" in batch:
@@ -112,7 +118,7 @@ def _assemble_inputs(batch: Dict[str, jax.Array], image_fn,
                 lambda: batch["answers"],
                 lambda logits, mask=None: sparse_or_dense_score(
                     logits, batch, mask))
-    image = image_fn(batch["image_row"])
+    image = image_fn(cache, batch["image_row"])
     return (batch["question"], image, batch["qlen"],
             lambda: densify_labels(batch["ans_idx"], batch["ans_score"],
                                    n_answers),
@@ -141,13 +147,13 @@ def build_train_step(model, tx, mesh,
     image_row / sparse labels instead of dense tensors.
     """
     del mesh  # sharding is carried by the arguments
-    image_fn = make_image_fn(feature_cache)
+    image_fn, cache_arrays = make_image_fn(feature_cache)
 
-    def step(state: TrainState, batch: Dict[str, jax.Array]
+    def step(state: TrainState, batch: Dict[str, jax.Array], cache
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, drop_rng = jax.random.split(state.rng)
         question, image, qlen, answers_fn, score_fn = _assemble_inputs(
-            batch, image_fn, n_answers)
+            batch, image_fn, cache, n_answers)
         answers = answers_fn()
 
         def loss_fn(params):
@@ -169,8 +175,10 @@ def build_train_step(model, tx, mesh,
                            "valid": jnp.sum(batch["mask"])}
 
     # donate only the state: batches are read host-side after the step
-    # (qid/mask for result emission) and are tiny in device-cache mode.
-    return jax.jit(step, donate_argnums=(0,))
+    # (qid/mask for result emission) and are tiny in device-cache mode;
+    # the cache arrays are never donated (reused every step).
+    jit_step = jax.jit(step, donate_argnums=(0,))
+    return lambda state, batch: jit_step(state, batch, cache_arrays)
 
 
 def build_eval_step(model, mesh,
@@ -183,11 +191,11 @@ def build_eval_step(model, mesh,
     returning the (B, K, K) tensor every step costs real HBM/transfer
     bandwidth and only the visualization path wants it."""
     del mesh
-    image_fn = make_image_fn(feature_cache)
+    image_fn, cache_arrays = make_image_fn(feature_cache)
 
-    def step(params, batch):
+    def step(params, batch, cache):
         question, image, qlen, _, score_fn = _assemble_inputs(
-            batch, image_fn, n_answers)
+            batch, image_fn, cache, n_answers)
         logits, adjacency, _ = model.apply(
             params, question, image, qlen, train=False)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -196,4 +204,5 @@ def build_eval_step(model, mesh,
             adjacency = jnp.zeros((0,), jnp.float32)
         return preds, score, adjacency
 
-    return jax.jit(step)
+    jit_step = jax.jit(step)
+    return lambda params, batch: jit_step(params, batch, cache_arrays)
