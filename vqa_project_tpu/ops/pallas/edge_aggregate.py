@@ -1,18 +1,22 @@
-"""Fused Pallas TPU kernel: top-m mask + edge softmax + Gaussian kernel
-weights + neighbourhood aggregation in one VMEM-resident pass.
+"""Fused Pallas TPU kernels: top-m mask + edge softmax + Gaussian kernel
+weights + neighbourhood aggregation in one VMEM-resident pass — forward
+AND hand-derived backward.
 
 This is the fused "graph block" of the BASELINE.json north star: given
 the learned adjacency, the polar pseudo-coordinates and the per-kernel
 PROJECTED node features, it produces the convolved features without ever
-materializing the (B, K, K, n_kernels) edge-weight tensor in HBM. One
-grid step processes one image; everything (rank computation, masked
-softmax, Gaussian weights, n_kernels KxK matmuls) happens in VMEM.
+materializing the (B, K, K, n_kernels) edge-weight tensor in HBM. The
+grid is batch-tiled: one grid step processes `bt` images (a fori_loop
+inside the kernel, so per-image temporaries like the (K, K, K) rank
+broadcast never coexist); everything (rank computation, masked softmax,
+Gaussian weights, n_kernels KxK matmuls) happens in VMEM.
 
-Semantics are identical to the XLA path
-(ops.neighbourhood.masked_neighbourhood +
-ops.graph_conv.masked_graph_convolution with pre-projected features);
-edge_aggregate_reference() below IS that path and serves as the
-correctness oracle + the custom-vjp backward.
+Training runs TWO kernels per block: the forward saves tiny residuals
+(sel, normalized gaussian weights, clamped denominator — (2+n)·K² floats
+per image) and _kernel_bwd computes all four gradients from them with no
+forward recompute. The math matches jax.vjp(edge_aggregate_reference)
+term for term; edge_aggregate_reference() below IS the XLA path and
+serves as the correctness oracle for both directions.
 
 Top-m selection uses the rank formulation: edge (i, j) is selected iff
 fewer than m entries of row i are strictly greater — exactly equivalent
@@ -32,17 +36,22 @@ from vqa_project_tpu.ops.gaussian import gaussian_kernel_weights
 from vqa_project_tpu.ops.neighbourhood import masked_neighbourhood
 
 
-def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
-            m: int, n_kernels: int, d: int, use_alpha: bool):
-    k = adj_ref.shape[1]
-    adj = adj_ref[0]                                   # (K, K) f32
-    rho = pseudo_ref[0, 0]                             # (K, K) f32
-    theta = pseudo_ref[0, 1]                           # (K, K)
+def _pick_bt(b: int, target: int = 8) -> int:
+    """Largest batch-tile <= target that divides b (grid must be exact)."""
+    bt = min(target, b)
+    while b % bt:
+        bt -= 1
+    return bt
 
-    # --- top-m mask via pairwise rank with lowest-index tie-breaking:
-    # j' beats j iff adj[j'] > adj[j] or (equal and j' < j); selecting
-    # rank < m picks EXACTLY m entries per row (matches
-    # ops.neighbourhood.masked_neighbourhood incl. all-equal rows) ---
+
+def _select_one(adj, m: int, use_alpha: bool):
+    """Top-m mask + masked row softmax for one (K, K) adjacency.
+
+    Pairwise rank with lowest-index tie-breaking: j' beats j iff
+    adj[j'] > adj[j] or (equal and j' < j); selecting rank < m picks
+    EXACTLY m entries per row (matches masked_neighbourhood incl.
+    all-equal rows)."""
+    k = adj.shape[-1]
     beats = (adj[:, :, None] > adj[:, None, :])
     jp = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 2)
@@ -50,18 +59,25 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
     rank = jnp.sum((beats | ties).astype(jnp.float32), axis=1)  # (K, K)
     mask = (rank < float(m)).astype(jnp.float32)
 
-    # --- masked softmax over the row (exact zeros off-neighbourhood) ---
+    if not use_alpha:
+        return mask
     neg = jnp.float32(-1e30)
     masked_adj = jnp.where(mask > 0, adj, neg)
     rowmax = jnp.max(masked_adj, axis=-1, keepdims=True)
     ex = jnp.exp(masked_adj - rowmax) * mask
-    alpha = ex / jnp.sum(ex, axis=-1, keepdims=True)
-    sel = alpha if use_alpha else mask
+    return ex / jnp.sum(ex, axis=-1, keepdims=True)
 
-    # --- Gaussian kernel weights, normalized across kernels per edge ---
+
+def _gaussians_one(rho, theta, gp_ref, n_kernels: int):
+    """Per-kernel Gaussian weights for one image: ([w_n], clamped denom).
+
+    Reference semantics (layers.py:100-125): 1e-14 precision epsilons,
+    wrapped theta distance, NaN-zeroing before the kernel-axis
+    normalization; the denominator clamp at 1e-20 is the documented
+    divergence (ops/gaussian.py)."""
     two_pi = jnp.float32(2.0 * math.pi)
     gws = []
-    denom = jnp.zeros((k, k), jnp.float32)
+    denom = jnp.zeros(rho.shape, jnp.float32)
     for n in range(n_kernels):
         mu_r = gp_ref[0, n]
         mu_t = gp_ref[1, n]
@@ -76,47 +92,268 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
         w = jnp.where(jnp.isnan(w), 0.0, w)
         gws.append(w)
         denom = denom + w
-    denom = jnp.maximum(denom, 1e-20)
+    return gws, jnp.maximum(denom, 1e-20)
 
-    # --- per-kernel aggregation: out_n = (sel * gw_n / denom) @ proj_n ---
-    for n in range(n_kernels):
-        w_n = sel * (gws[n] / denom)                   # (K, K)
-        p_n = proj_ref[0, :, n * d:(n + 1) * d]        # (K, d)
-        out_ref[0, :, n * d:(n + 1) * d] = jnp.dot(
-            w_n, p_n.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
+
+def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
+            m: int, n_kernels: int, d: int, use_alpha: bool, bt: int):
+    """Inference forward: bt images per grid step, no residuals."""
+
+    def body(s, carry):
+        adj = adj_ref[s]                               # (K, K) f32
+        ps = pseudo_ref[s]                             # (2, K, K)
+        sel = _select_one(adj, m, use_alpha)
+        gws, denom = _gaussians_one(ps[0], ps[1], gp_ref, n_kernels)
+        proj = proj_ref[s]                             # (K, nd)
+        outs = []
+        for n in range(n_kernels):
+            w_n = sel * (gws[n] / denom)
+            outs.append(jnp.dot(w_n, proj[:, n * d:(n + 1) * d],
+                                preferred_element_type=jnp.float32))
+        out_ref[s] = jnp.concatenate(outs, axis=-1)
+        return carry
+
+    jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+
+
+def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref,
+                sel_ref, ghat_ref, denom_ref, *,
+                m: int, n_kernels: int, d: int, use_alpha: bool, bt: int):
+    """Training forward: also saves (sel, normalized gaussian, denom)."""
+
+    def body(s, carry):
+        adj = adj_ref[s]
+        ps = pseudo_ref[s]
+        sel = _select_one(adj, m, use_alpha)
+        sel_ref[s] = sel
+        gws, denom = _gaussians_one(ps[0], ps[1], gp_ref, n_kernels)
+        denom_ref[s] = denom
+        proj = proj_ref[s]
+        outs, ghats = [], []
+        for n in range(n_kernels):
+            ghat_n = gws[n] / denom
+            ghats.append(ghat_n)
+            outs.append(jnp.dot(sel * ghat_n, proj[:, n * d:(n + 1) * d],
+                                preferred_element_type=jnp.float32))
+        ghat_ref[s] = jnp.stack(ghats)                 # (n, K, K)
+        out_ref[s] = jnp.concatenate(outs, axis=-1)
+        return carry
+
+    jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+
+
+def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
+                proj_ref, gp_ref,
+                dadj_ref, dpseudo_ref, dproj_ref, dgp_ref, *,
+                n_kernels: int, d: int, use_alpha: bool, bt: int):
+    """Hand-derived VJP of the fused graph block, fully in VMEM.
+
+    Matches jax.vjp(edge_aggregate_reference) term by term:
+      out_n = (sel * ghat_n) @ p_n
+      dproj_n = (sel * ghat_n)^T @ g_n
+      G_n    = g_n @ p_n^T                     (d out_n / d edge-weight)
+      dsel   = sum_n G_n * ghat_n
+      dgw_n  = G_n * sel
+      dw_n   = (dgw_n - ind * sum_m dgw_m * ghat_m) / denom
+               (quotient rule through the kernel-axis normalization;
+                ind = denominator not clamped at 1e-20)
+      with w_n = ghat_n * denom (exact, incl. NaN-zeroed edges -> 0):
+      drho  += dw_n * w_n * (-(rho - mu_r) / (1e-14 + pr^2))
+      dtheta+= dw_n * w_n * (-D / (1e-14 + pt^2)) * dD/dtheta
+      dmu/dprec accumulate the per-kernel sums of the same terms
+      dadj   = sel * (dsel - rowsum(dsel * sel))   [softmax VJP; alpha
+               path only — the 0/1 mask path is piecewise constant]
+    """
+    two_pi = jnp.float32(2.0 * math.pi)
+
+    def body(s, dgp_acc):
+        g = g_ref[s]                                   # (K, nd) f32
+        sel = sel_ref[s]                               # (K, K)
+        ghat = ghat_ref[s]                             # (n, K, K)
+        denom = denom_ref[s]                           # (K, K)
+        ps = pseudo_ref[s]
+        rho, theta = ps[0], ps[1]
+        proj = proj_ref[s]
+        ind = (denom > 1e-20).astype(jnp.float32)
+
+        # pass 1: matmul grads + dsel + dgw + normalization cross term
+        dsel = jnp.zeros_like(sel)
+        s_cross = jnp.zeros_like(sel)
+        dgws, dprojs = [], []
+        for n in range(n_kernels):
+            g_n = g[:, n * d:(n + 1) * d]
+            p_n = proj[:, n * d:(n + 1) * d]
+            ghat_n = ghat[n]
+            dprojs.append(jnp.dot((sel * ghat_n).T, g_n,
+                                  preferred_element_type=jnp.float32))
+            g_edge = jnp.dot(g_n, p_n.T,
+                             preferred_element_type=jnp.float32)  # (K,K)
+            dsel = dsel + g_edge * ghat_n
+            dgw_n = g_edge * sel
+            dgws.append(dgw_n)
+            s_cross = s_cross + dgw_n * ghat_n
+        dproj_ref[s] = jnp.concatenate(dprojs, axis=-1)
+
+        # pass 2: through the normalized gaussians to pseudo + gparams
+        drho = jnp.zeros_like(sel)
+        dth = jnp.zeros_like(sel)
+        dmu_r, dmu_t, dpr, dpt = [], [], [], []
+        for n in range(n_kernels):
+            mu_r = gp_ref[0, n]
+            mu_t = gp_ref[1, n]
+            pr = gp_ref[2, n]
+            pt = gp_ref[3, n]
+            inv_r = 1.0 / (1e-14 + pr * pr)
+            inv_t = 1.0 / (1e-14 + pt * pt)
+            dw_n = (dgws[n] - ind * s_cross) / denom
+            w_n = ghat[n] * denom                      # exact w (NaN->0)
+            dwn_wn = dw_n * w_n
+
+            x_r = rho - mu_r
+            drho = drho + dwn_wn * (-x_r * inv_r)
+            dmu_r.append(jnp.sum(dwn_wn * x_r * inv_r))
+            dpr.append(jnp.sum(dwn_wn * (x_r * x_r) * pr * inv_r * inv_r))
+
+            first = jnp.abs(theta - mu_t)
+            second = jnp.abs(two_pi - first)
+            dist = jnp.minimum(first, second)
+            # dD/dfirst: 1 on the first branch, -sign(2pi - first) on
+            # the second (jnp.minimum routes ties to the first operand)
+            dd_dfirst = jnp.where(first <= second, 1.0,
+                                  -jnp.sign(two_pi - first))
+            sgn = jnp.sign(theta - mu_t)
+            common_t = dwn_wn * (-dist * inv_t) * dd_dfirst * sgn
+            dth = dth + common_t
+            dmu_t.append(jnp.sum(-common_t))
+            dpt.append(jnp.sum(dwn_wn * (dist * dist) * pt
+                               * inv_t * inv_t))
+
+        dpseudo_ref[s] = jnp.stack([drho, dth])
+        if use_alpha:
+            row = jnp.sum(dsel * sel, axis=-1, keepdims=True)
+            dadj_ref[s] = sel * (dsel - row)
+        else:
+            dadj_ref[s] = jnp.zeros_like(sel)
+        return dgp_acc + jnp.stack([jnp.stack(dmu_r), jnp.stack(dmu_t),
+                                    jnp.stack(dpr), jnp.stack(dpt)])
+
+    dgp = jax.lax.fori_loop(
+        0, bt, body, jnp.zeros((4, n_kernels), jnp.float32), unroll=False)
+    dgp_ref[0] = dgp
 
 
 def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
-                    interpret=False):
+                    interpret=False, save_residuals=False):
     b, k, _ = adj.shape
     n_kernels = gparams.shape[1]
     nd = proj.shape[-1]
     d = nd // n_kernels
+    bt = _pick_bt(b)
     # pseudo arrives (B, K, K, 2); the kernel wants channel-major planes
     pseudo_cm = jnp.moveaxis(pseudo, -1, 1)            # (B, 2, K, K)
 
-    kern = functools.partial(_kernel, m=m, n_kernels=n_kernels, d=d,
-                             use_alpha=use_alpha)
+    in_specs = [
+        pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 2, k, k), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = (adj.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
+            proj, gparams.astype(jnp.float32))
+    if not save_residuals:
+        kern = functools.partial(_kernel, m=m, n_kernels=n_kernels, d=d,
+                                 use_alpha=use_alpha, bt=bt)
+        return pl.pallas_call(
+            kern,
+            grid=(b // bt,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+            interpret=interpret,
+        )(*args)
+
+    kern = functools.partial(_kernel_res, m=m, n_kernels=n_kernels, d=d,
+                             use_alpha=use_alpha, bt=bt)
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // bt,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n_kernels, k, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_kernels, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
+                     use_alpha, interpret=False):
+    b, k, _ = sel.shape
+    n_kernels = gparams.shape[1]
+    nd = proj.shape[-1]
+    d = nd // n_kernels
+    bt = _pick_bt(b)
+
+    kern = functools.partial(_kernel_bwd, n_kernels=n_kernels, d=d,
+                             use_alpha=use_alpha, bt=bt)
+    dadj, dpseudo_cm, dproj, dgp_part = pl.pallas_call(
+        kern,
+        grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, k, k), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, nd), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, n_kernels, k, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, k, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, nd), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2, k, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n_kernels), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+            jax.ShapeDtypeStruct((b // bt, 4, n_kernels), jnp.float32),
+        ],
         interpret=interpret,
-    )(adj.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
-      proj, gparams.astype(jnp.float32))
+    )(g.astype(jnp.float32), sel, ghat, denom, pseudo_cm, proj,
+      gparams.astype(jnp.float32))
+    dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)
+    dgparams = jnp.sum(dgp_part, axis=0)               # (4, n)
+    return dadj, dpseudo, dproj, dgparams
 
 
 def edge_aggregate_reference(adj, pseudo, proj, gparams, *, m, use_alpha):
@@ -142,9 +379,14 @@ def fused_edge_aggregate(adj, pseudo, proj, gparams, m, use_alpha,
                          interpret=False):
     """Differentiable fused graph block.
 
-    Forward runs the Pallas kernel; backward differentiates the XLA
-    reference (identical math), so training with the fused kernel is
-    exact. Args:
+    Forward and backward each run ONE Pallas kernel: the forward saves
+    tiny residuals (sel, normalized gaussian weights, clamped denom —
+    (2+n)*K*K floats per image) and the backward (_kernel_bwd) computes
+    all four gradients in VMEM from them, with no forward recompute and
+    no other HBM intermediates. The math matches
+    jax.vjp(edge_aggregate_reference) term for term.
+
+    Args:
       adj:     (B, K, K) learned adjacency (fp32).
       pseudo:  (B, K, K, 2) polar pseudo-coordinates.
       proj:    (B, K, n_kernels*d) per-kernel projected node features.
@@ -157,18 +399,19 @@ def fused_edge_aggregate(adj, pseudo, proj, gparams, m, use_alpha,
 
 
 def _fwd(adj, pseudo, proj, gparams, m, use_alpha, interpret):
-    out = _pallas_forward(adj, pseudo, proj, gparams, m=m,
-                          use_alpha=use_alpha, interpret=interpret)
-    return out, (adj, pseudo, proj, gparams)
+    out, sel, ghat, denom = _pallas_forward(
+        adj, pseudo, proj, gparams, m=m, use_alpha=use_alpha,
+        interpret=interpret, save_residuals=True)
+    pseudo_cm = jnp.moveaxis(pseudo, -1, 1)
+    return out, (sel, ghat, denom, pseudo_cm, proj, gparams)
 
 
 def _bwd(m, use_alpha, interpret, res, g):
-    adj, pseudo, proj, gparams = res
-    _, vjp = jax.vjp(
-        lambda a, p, pr, gp: edge_aggregate_reference(
-            a, p, pr, gp, m=m, use_alpha=use_alpha),
-        adj, pseudo, proj, gparams)
-    return vjp(g)
+    del m
+    sel, ghat, denom, pseudo_cm, proj, gparams = res
+    return _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj,
+                            gparams, use_alpha=use_alpha,
+                            interpret=interpret)
 
 
 fused_edge_aggregate.defvjp(_fwd, _bwd)
