@@ -164,3 +164,12 @@ def test_pallas_gru_bwd_kernel_via_env(rng, monkeypatch):
     backward and still matches the XLA gradients."""
     monkeypatch.setenv("VQAX_PALLAS_GRU_BWD", "1")
     test_pallas_gru_gradients_match(rng)
+
+
+def test_gather_rows_matches_take(rng):
+    from vqa_project_tpu.ops.pallas.gather_rows import gather_rows
+
+    tbl = jnp.asarray(rng.normal(size=(20, 8, 128)).astype(np.float32))
+    rows = jnp.asarray(rng.integers(0, 20, 13).astype(np.int32))
+    got = np.asarray(gather_rows(tbl, rows, interpret=True))
+    np.testing.assert_array_equal(got, np.asarray(tbl)[np.asarray(rows)])

@@ -49,8 +49,8 @@ def test_sharded_gather_matches_host(data_dir):
 
     batch = next(iter(loader))
     dev = shard_batch(batch, mesh)
-    got = np.asarray(gather(cache.features, cache.boxes,
-                            dev["image_row"]))
+    f, b = gather(cache.features, cache.boxes, dev["image_row"])
+    got = np.concatenate([np.asarray(f, np.float32), np.asarray(b)], -1)
     expected = ds.store.batch(batch["image_row"])
     # padded (mask=0) rows may disagree; compare valid rows only
     valid = batch["mask"] > 0

@@ -71,10 +71,12 @@ def input_args(argv=None):
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--feature_cache_dtype", type=str,
-                        default="float32",
-                        choices=["bfloat16", "float32"],
-                        help="dtype of the device-resident feature table "
-                             "(bfloat16 halves HBM + upload time)")
+                        default="auto",
+                        choices=["auto", "bfloat16", "float32"],
+                        help="dtype of the device-resident feature table; "
+                             "auto follows --compute_dtype (bfloat16 "
+                             "halves HBM + gather traffic at identical "
+                             "model inputs — boxes stay float32)")
     parser.add_argument("--pallas", action="store_true",
                         help="enable the fused Pallas graph kernel")
     parser.add_argument("--synthetic", action="store_true",

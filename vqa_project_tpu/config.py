@@ -71,7 +71,12 @@ class TrainConfig:
     # fits under this budget; otherwise batches stream dense features
     # from host. The cache removes ~40 MB/batch of H2D traffic.
     device_cache_bytes: int = 8 << 30
-    feature_cache_dtype: str = "float32"   # 'bfloat16' halves HBM + H2D
+    # dtype of the cached feature table. "auto" follows the model's
+    # compute dtype: with bf16 compute the model casts features to bf16
+    # anyway (boxes are stored separately in f32, so pseudo-coords are
+    # unaffected), and a bf16 table halves HBM residency AND the
+    # per-step gather traffic — mathematically identical model inputs.
+    feature_cache_dtype: str = "auto"      # auto | float32 | bfloat16
 
 
 @dataclasses.dataclass

@@ -222,7 +222,7 @@ class GraphVQAModel(nn.Module):
     def __call__(
         self,
         question: jnp.ndarray,   # (B, T) int32
-        image: jnp.ndarray,      # (B, K, feat_dim)
+        image,                   # (B, K, feat_dim) OR (features, boxes)
         qlen: jnp.ndarray,       # (B,) int32
         *,
         train: bool = False,
@@ -230,9 +230,20 @@ class GraphVQAModel(nn.Module):
         cfg = self.cfg
         cdt = jnp.dtype(cfg.compute_dtype)
 
-        # --- bbox centres from raw features, then polar pseudo-coords
-        #     (fp32, before any downcast) ---
-        bb_centre = bbox_centres(image)
+        # image arrives either pre-concatenated (B, K, feat+4) or as a
+        # (features, boxes) pair. The pair form lets the device cache
+        # keep features in the compute dtype with NO f32 round trip
+        # (halving gather+concat HBM traffic) while boxes stay f32 for
+        # the pseudo-coordinates — bitwise the same inputs either way,
+        # since the concatenated path bf16-casts everything below too.
+        if isinstance(image, (tuple, list)):
+            feats, boxes = image
+            bb_centre = bbox_centres(boxes)  # [..., -4:] of (B,K,4) = boxes
+            image = jnp.concatenate(
+                [feats.astype(cdt), boxes.astype(cdt)], axis=-1)
+        else:
+            # bbox centres from the raw tensor (fp32, before any downcast)
+            bb_centre = bbox_centres(image)
         pseudo = polar_pseudo_coords(bb_centre)          # (B, K, K, 2)
 
         # the (B, K, 2052) feature tensor and everything built from it

@@ -35,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from vqa_project_tpu.ops.gaussian import gaussian_kernel_weights
 from vqa_project_tpu.ops.neighbourhood import masked_neighbourhood
 
+# the batch-tiled blocks sit near the default 16 MB scoped-VMEM limit
+# (double-buffered (bt, K, nd) f32 blocks); v5e has 128 MB physical
+# VMEM, so grant headroom explicitly
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+
 
 def _pick_bt(b: int, target: int = 8) -> int:
     """Largest batch-tile <= target that divides b (grid must be exact)."""
@@ -275,6 +280,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(*args)
 
     kern = functools.partial(_kernel_res, m=m, n_kernels=n_kernels, d=d,
@@ -300,6 +306,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
 
 
@@ -349,6 +356,7 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
             jax.ShapeDtypeStruct((b // bt, 4, n_kernels), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(g.astype(jnp.float32), sel, ghat, denom, pseudo_cm, proj,
       gparams.astype(jnp.float32))
     dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)

@@ -71,9 +71,12 @@ class ShardedFeatureCache:
             np.int32)
 
     def gather_fn(self):
-        """Returns gather(features, boxes, rows) -> (B, K, F+4) image
-        tensor, usable inside jit. rows must be locality-consistent:
-        the i-th batch shard's rows belong to chip i."""
+        """Returns gather(features, boxes, rows) -> (features, boxes)
+        batch pair, usable inside jit. rows must be locality-consistent:
+        the i-th batch shard's rows belong to chip i. Returned as a PAIR
+        in the stored dtypes (no f32 round trip — the model concatenates
+        in its compute dtype and reads pseudo-coords from the f32
+        boxes)."""
         axis = self.axis
         shard_size = self.shard_size
 
@@ -88,10 +91,9 @@ class ShardedFeatureCache:
             local = jnp.clip(rows - idx * shard_size, 0, shard_size - 1)
             f = jnp.take(table_f, local, axis=0)
             b = jnp.take(table_b, local, axis=0)
-            return jnp.concatenate(
-                [f.astype(jnp.float32), b.astype(jnp.float32)], axis=-1)
+            return f, b
 
         return shard_map(
             _local, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(axis)),
-            out_specs=P(axis))
+            out_specs=(P(axis), P(axis)))

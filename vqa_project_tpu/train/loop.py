@@ -57,7 +57,8 @@ def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
 
 
 def make_feature_cache(ds: GraphVQADataset, mesh,
-                       train_cfg: TrainConfig):
+                       train_cfg: TrainConfig,
+                       compute_dtype: Optional[str] = None):
     """Device-resident feature cache.
 
     Mode selection by the per-chip HBM budget (device_cache_bytes):
@@ -65,13 +66,19 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
     - fits only divided across the mesh -> ShardedFeatureCache (image
       axis sharded; batches must then use locality partitions);
     - neither -> None (host streaming of dense batches).
+
+    feature_cache_dtype="auto" stores the table in compute_dtype (the
+    model casts features there anyway; boxes stay f32 — see config.py).
     """
     import jax.numpy as jnp
 
     from vqa_project_tpu.parallel.sharded_cache import ShardedFeatureCache
 
     store = ds.store
-    dtype = np.dtype(train_cfg.feature_cache_dtype)
+    cache_dtype = train_cfg.feature_cache_dtype
+    if cache_dtype == "auto":
+        cache_dtype = compute_dtype or "float32"
+    dtype = np.dtype(cache_dtype)
     nbytes = (store.features.size * dtype.itemsize + store.boxes.nbytes)
     n_chips = mesh.devices.size
     if nbytes <= train_cfg.device_cache_bytes:
@@ -130,7 +137,8 @@ def fit(
         raise ValueError(f"batch_size {bs} not divisible by {n_chips} chips")
 
     model = build_model(model_cfg, train_ds)
-    cache = make_feature_cache(train_ds, mesh, train_cfg)
+    cache = make_feature_cache(train_ds, mesh, train_cfg,
+                               model_cfg.compute_dtype)
     loader = Batcher(train_ds, bs, shuffle=True, seed=train_cfg.seed,
                      drop_last=True, materialize=cache is None,
                      **_locality_kwargs(cache, train_ds))
@@ -155,7 +163,8 @@ def fit(
         # FeatureStore objects are distinct, so compare the backing
         # memmap files)
         val_cache = (cache if _same_store(val_ds.store, train_ds.store)
-                     else make_feature_cache(val_ds, mesh, train_cfg))
+                     else make_feature_cache(val_ds, mesh, train_cfg,
+                                             model_cfg.compute_dtype))
         eval_step = build_eval_step(model, mesh, feature_cache=val_cache,
                                     n_answers=val_ds.n_answers)
         val_iter = _infinite_batches(
@@ -278,7 +287,8 @@ def evaluate(
     mesh = make_mesh(num_devices, data_axis)
     from vqa_project_tpu.config import TrainConfig as _TC
 
-    cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size))
+    cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size),
+                               model.cfg.compute_dtype)
     params = replicate(params, mesh)
     eval_step = build_eval_step(model, mesh, feature_cache=cache,
                                 n_answers=ds.n_answers,

@@ -80,9 +80,12 @@ def make_image_fn(feature_cache):
 
         def image_fn(cache, rows):
             features, boxes = cache
-            f = jnp.take(features, rows, axis=0)
-            b = jnp.take(boxes, rows, axis=0)
-            return jnp.concatenate([f.astype(jnp.float32), b], axis=-1)
+            # returned as a (features, boxes) PAIR: the model consumes
+            # features in their stored dtype (no f32 round trip — with a
+            # bf16 table that halves gather+concat HBM traffic) and reads
+            # pseudo-coordinates from the f32 boxes.
+            return (jnp.take(features, rows, axis=0),
+                    jnp.take(boxes, rows, axis=0))
 
         return image_fn, feature_cache
 
