@@ -89,7 +89,8 @@ def main():
     tcfg = TrainConfig(
         batch_size=bsize,
         feature_cache_dtype=os.environ.get("BENCH_FEATURE_DTYPE",
-                                           "auto"))
+                                           "auto"),
+        pallas_gather=os.environ.get("BENCH_PALLAS_GATHER") == "1")
     if cache_mode != "auto":
         # force the cache mode by steering the HBM-budget heuristic
         import dataclasses
@@ -117,7 +118,8 @@ def main():
         from vqa_project_tpu.train.steps import build_eval_step
 
         eval_step = build_eval_step(model, mesh, feature_cache=cache,
-                                    n_answers=ds.n_answers)
+                                    n_answers=ds.n_answers,
+                                    pallas_gather=tcfg.pallas_gather)
         params = state.params
 
         def train_step(st, batch):  # same loop shape; returns a scalar
@@ -125,7 +127,8 @@ def main():
             return st, {"loss": score}
     else:
         train_step = build_train_step(model, tx, mesh, feature_cache=cache,
-                                      n_answers=ds.n_answers)
+                                      n_answers=ds.n_answers,
+                                      pallas_gather=tcfg.pallas_gather)
     from vqa_project_tpu.data.loader import pack_index_batch
 
     def put(b):

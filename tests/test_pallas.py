@@ -173,3 +173,31 @@ def test_gather_rows_matches_take(rng):
     rows = jnp.asarray(rng.integers(0, 20, 13).astype(np.int32))
     got = np.asarray(gather_rows(tbl, rows, interpret=True))
     np.testing.assert_array_equal(got, np.asarray(tbl)[np.asarray(rows)])
+
+
+def test_pallas_gather_training_bit_identical(tmp_path):
+    """fit() with pallas_gather=True (interpret mode on CPU) produces
+    bit-identical parameters to the jnp.take cache gather — the kernel
+    is a pure data-movement swap."""
+    from vqa_project_tpu.config import ModelConfig, TrainConfig
+    from vqa_project_tpu.data import GraphVQADataset
+    from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+    from vqa_project_tpu.train.loop import fit
+
+    d = str(tmp_path / "synth")
+    generate_synthetic_vqa(d, n_images=12, n_questions=96, n_obj=8,
+                           feat_dim=24, q_vocab=20, n_answers=8)
+    mcfg = ModelConfig(emb_dim=24, hid_dim=32, combined_dim=16,
+                       n_kernels=4, neighbourhood_size=4, dropout=0.1,
+                       max_qlen=10, compute_dtype="float32")
+
+    def run(pallas_gather):
+        ds = GraphVQADataset.vqa2(d, "train", n_obj=8, max_qlen=10)
+        tcfg = TrainConfig(lr=1e-3, epochs=1, batch_size=16,
+                           eval_interval=0, log_interval=1000,
+                           num_devices=1, pallas_gather=pallas_gather)
+        _, state, _ = fit(tcfg, mcfg, ds)
+        return jax.tree.leaves(state.params)
+
+    for a, b in zip(run(False), run(True)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -58,6 +58,26 @@ def test_sharded_gather_matches_host(data_dir):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_gather_pallas_matches_take(data_dir):
+    """gather_fn(pallas_gather=True) (interpret on CPU) is bit-identical
+    to the jnp.take shard_map gather."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
+    mesh = make_mesh(8)
+    cache = ShardedFeatureCache.build(ds.store, mesh)
+    parts = cache.partitions()[ds.table.image_row]
+    loader = Batcher(ds, 16, shuffle=True, seed=3, materialize=False,
+                     partitions=parts, n_partitions=8)
+    gather = jax.jit(cache.gather_fn())
+    gather_p = jax.jit(cache.gather_fn(pallas_gather=True))
+
+    batch = next(iter(loader))
+    dev = shard_batch(batch, mesh)
+    f, b = gather(cache.features, cache.boxes, dev["image_row"])
+    fp, bp = gather_p(cache.features, cache.boxes, dev["image_row"])
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(fp))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(bp))
+
+
 def test_locality_batcher_covers_every_question_once(data_dir):
     ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
     mesh = make_mesh(8)

@@ -68,6 +68,10 @@ def input_args(argv=None):
     # TPU-native additions
     parser.add_argument("--num_devices", type=int, default=None,
                         help="chips to use (default: all)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="model-parallel factor (2-D (data, model) "
+                             "mesh; parameters + Adam moments sharded "
+                             "per parallel/tp.py)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--feature_cache_dtype", type=str,
@@ -79,6 +83,9 @@ def input_args(argv=None):
                              "model inputs — boxes stay float32)")
     parser.add_argument("--pallas", action="store_true",
                         help="enable the fused Pallas graph kernel")
+    parser.add_argument("--pallas_gather", action="store_true",
+                        help="serve the feature-cache row gather with "
+                             "the Pallas scalar-prefetch DMA kernel")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic mini-dataset")
     parser.add_argument("--seed", type=int, default=1000)
@@ -98,7 +105,8 @@ def make_configs(args):
         data_dir=args.data_dir, save_dir=args.save_dir,
         plot_dir=args.plot_dir, name=args.name, model_path=args.model_path,
         num_devices=args.num_devices, seed=args.seed,
-        feature_cache_dtype=args.feature_cache_dtype)
+        feature_cache_dtype=args.feature_cache_dtype,
+        pallas_gather=args.pallas_gather, tp=args.tp)
     return mcfg, tcfg
 
 

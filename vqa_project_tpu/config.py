@@ -64,6 +64,12 @@ class TrainConfig:
     # TPU execution
     data_axis: str = "data"        # mesh axis name for data parallelism
     num_devices: Optional[int] = None  # None = all visible
+    # model-parallel factor: tp>1 builds a 2-D (data, model) mesh and
+    # shards parameters + Adam moments by the rules in parallel/tp.py
+    # (classifier columns, GRU gate rows, MoNet kernel axis, vocab-
+    # sharded embedding). Default 1 = pure DP, the right choice at this
+    # model size; tp exists for large-vocab / many-kernel regimes.
+    tp: int = 1
     # (state donation is unconditional in train/steps.py — on the
     # tunneled backend a non-donated step leaks the full state per call)
     prefetch: int = 2              # host->device prefetch depth
@@ -77,6 +83,12 @@ class TrainConfig:
     # unaffected), and a bf16 table halves HBM residency AND the
     # per-step gather traffic — mathematically identical model inputs.
     feature_cache_dtype: str = "auto"      # auto | float32 | bfloat16
+    # Serve the replicated-cache row gather with the Pallas
+    # scalar-prefetch DMA kernel (ops/pallas/gather_rows.py) instead of
+    # XLA's jnp.take lowering. Wins ~10% of gather time at multi-GB
+    # table sizes; opt-in for the same reason as use_pallas (cold
+    # Mosaic remote-compile on the tunneled dev chip).
+    pallas_gather: bool = False
 
 
 @dataclasses.dataclass

@@ -29,13 +29,17 @@ def _copy_kernel(rows_ref, tbl_ref, out_ref):
 
 
 def gather_rows(table: jax.Array, rows: jax.Array, *,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool | None = None) -> jax.Array:
     """table[rows] for a (N, K, F) table and (B,) int32 rows.
 
     One grid step DMAs one (1, K, F) row block, destination-indexed by
     the prefetched row id. Rows must be in-range (the cache layer clamps
-    padded rows before calling).
+    padded rows before calling). interpret=None auto-selects interpret
+    mode off-TPU, so the train step stays runnable on the virtual CPU
+    test mesh with the same code path.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b = rows.shape[0]
     _, k, f = table.shape
     return pl.pallas_call(

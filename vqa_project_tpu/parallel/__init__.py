@@ -5,6 +5,11 @@ from vqa_project_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from vqa_project_tpu.parallel.tp import (
+    make_mesh_2d,
+    param_spec,
+    shard_state,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "replicated_sharding",
+    "make_mesh_2d",
+    "param_spec",
+    "shard_state",
 ]

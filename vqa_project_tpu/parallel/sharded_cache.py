@@ -70,15 +70,20 @@ class ShardedFeatureCache:
         return (np.arange(self.n_images) // self.shard_size).astype(
             np.int32)
 
-    def gather_fn(self):
+    def gather_fn(self, pallas_gather: bool = False):
         """Returns gather(features, boxes, rows) -> (features, boxes)
         batch pair, usable inside jit. rows must be locality-consistent:
         the i-th batch shard's rows belong to chip i. Returned as a PAIR
         in the stored dtypes (no f32 round trip — the model concatenates
         in its compute dtype and reads pseudo-coords from the f32
-        boxes)."""
+        boxes). pallas_gather serves the per-chip feature gather with
+        the scalar-prefetch DMA kernel (ops/pallas/gather_rows.py) —
+        the real-data regime (36 GB table / 8 chips = multi-GB shards)
+        is exactly where XLA's take lowering degrades."""
         axis = self.axis
         shard_size = self.shard_size
+        if pallas_gather:
+            from vqa_project_tpu.ops.pallas.gather_rows import gather_rows
 
         def _local(table_f, table_b, rows):
             idx = jax.lax.axis_index(axis)
@@ -89,11 +94,22 @@ class ShardedFeatureCache:
             # clamped row is garbage-but-finite, and the masked loss
             # then gives it an exactly-zero gradient contribution.
             local = jnp.clip(rows - idx * shard_size, 0, shard_size - 1)
-            f = jnp.take(table_f, local, axis=0)
-            b = jnp.take(table_b, local, axis=0)
+            if pallas_gather:
+                f = gather_rows(table_f, local)
+            else:
+                # local is clipped above, so "clip" is free and skips
+                # XLA's fill-mode select + bounds machinery
+                f = jnp.take(table_f, local, axis=0, mode="clip")
+            b = jnp.take(table_b, local, axis=0, mode="clip")
             return f, b
 
+        kwargs = {}
+        if pallas_gather:
+            # pallas_call's out_shape carries no varying-mesh-axes
+            # annotation, which shard_map's vma checker (jax>=0.7)
+            # rejects; the specs below already pin the partitioning.
+            kwargs["check_vma"] = False
         return shard_map(
             _local, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)))
+            out_specs=(P(axis), P(axis)), **kwargs)

@@ -89,6 +89,14 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
             replicate(jnp.asarray(feats), mesh),
             replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
         )
+    if len(mesh.shape) > 1:
+        # sharded cache assumes a 1-D data mesh (locality partitions
+        # count chips on the data axis); with tp > 1 fall through to
+        # host streaming rather than mis-partition.
+        print(f"feature table {nbytes / 1e9:.1f} GB exceeds device "
+              "cache budget and mesh has a model axis; streaming from "
+              "host (sharded cache is 1-D-mesh only)", flush=True)
+        return None
     if n_chips > 1 and nbytes / n_chips <= train_cfg.device_cache_bytes:
         print(f"feature table {nbytes / 1e9:.1f} GB: sharding across "
               f"{n_chips} chips ({nbytes / n_chips / 1e9:.1f} GB/chip)",
@@ -98,6 +106,25 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
     print(f"feature table {nbytes / 1e9:.1f} GB exceeds device cache "
           "budget; streaming features from host", flush=True)
     return None
+
+
+def _make_fit_mesh(train_cfg: TrainConfig):
+    """1-D data mesh, or a 2-D (data, model) mesh when tp > 1."""
+    if getattr(train_cfg, "tp", 1) > 1:
+        from vqa_project_tpu.parallel import make_mesh_2d
+
+        return make_mesh_2d(train_cfg.tp, train_cfg.num_devices,
+                            train_cfg.data_axis)
+    return make_mesh(train_cfg.num_devices, train_cfg.data_axis)
+
+
+def _place_state(state, mesh, train_cfg: TrainConfig):
+    """Replicate (pure DP) or rule-shard (tp > 1) the train state."""
+    if getattr(train_cfg, "tp", 1) > 1:
+        from vqa_project_tpu.parallel import shard_state
+
+        return shard_state(state, mesh)
+    return replicate(state, mesh)
 
 
 def _same_store(a, b) -> bool:
@@ -130,11 +157,12 @@ def fit(
     jsonl_path: Optional[str] = None,
 ) -> Tuple[GraphVQAModel, TrainState, float]:
     """Run the training loop; returns (model, state, final epoch acc %)."""
-    mesh = make_mesh(train_cfg.num_devices, train_cfg.data_axis)
-    n_chips = mesh.devices.size
+    mesh = _make_fit_mesh(train_cfg)
+    n_chips = mesh.shape[train_cfg.data_axis]  # batch shards over data only
     bs = train_cfg.batch_size
     if bs % n_chips:
-        raise ValueError(f"batch_size {bs} not divisible by {n_chips} chips")
+        raise ValueError(f"batch_size {bs} not divisible by {n_chips} "
+                         "data-parallel chips")
 
     model = build_model(model_cfg, train_ds)
     cache = make_feature_cache(train_ds, mesh, train_cfg,
@@ -151,10 +179,11 @@ def fit(
         print(f"Resuming from checkpoint {resume_path}")
         payload, state = load_checkpoint(resume_path, state)
         start_epoch = int(payload.get("epoch", 0))
-    state = replicate(state, mesh)
+    state = _place_state(state, mesh, train_cfg)
 
     train_step = build_train_step(model, tx, mesh, feature_cache=cache,
-                                  n_answers=train_ds.n_answers)
+                                  n_answers=train_ds.n_answers,
+                                  pallas_gather=train_cfg.pallas_gather)
     eval_step = None
     val_iter = None
     if val_ds is not None:
@@ -166,7 +195,8 @@ def fit(
                      else make_feature_cache(val_ds, mesh, train_cfg,
                                              model_cfg.compute_dtype))
         eval_step = build_eval_step(model, mesh, feature_cache=val_cache,
-                                    n_answers=val_ds.n_answers)
+                                    n_answers=val_ds.n_answers,
+                                    pallas_gather=train_cfg.pallas_gather)
         val_iter = _infinite_batches(
             Batcher(val_ds, bs, shuffle=True, seed=train_cfg.seed + 1,
                     materialize=val_cache is None,

@@ -62,7 +62,7 @@ def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
     return jnp.sum(score)
 
 
-def make_image_fn(feature_cache):
+def make_image_fn(feature_cache, pallas_gather: bool = False):
     """Normalize the cache argument into (image_fn, cache_arrays).
 
     feature_cache is either None (host mode), a (features, boxes) tuple
@@ -77,6 +77,8 @@ def make_image_fn(feature_cache):
     if feature_cache is None:
         return None, ()
     if isinstance(feature_cache, tuple):
+        if pallas_gather:
+            from vqa_project_tpu.ops.pallas.gather_rows import gather_rows
 
         def image_fn(cache, rows):
             features, boxes = cache
@@ -84,12 +86,21 @@ def make_image_fn(feature_cache):
             # features in their stored dtype (no f32 round trip — with a
             # bf16 table that halves gather+concat HBM traffic) and reads
             # pseudo-coordinates from the f32 boxes.
-            return (jnp.take(features, rows, axis=0),
-                    jnp.take(boxes, rows, axis=0))
+            if pallas_gather:
+                # scalar-prefetch DMA gather for the big table; boxes
+                # (B, K, 4) are too small to pay a kernel for
+                feats = gather_rows(features, rows)
+            else:
+                # mode="clip": rows are in-range by the Batcher's
+                # invariant (padding repeats valid rows); the default
+                # "fill" mode adds a full-batch select + bounds checks
+                # (~113 MB of HBM traffic per step at batch 256)
+                feats = jnp.take(features, rows, axis=0, mode="clip")
+            return feats, jnp.take(boxes, rows, axis=0, mode="clip")
 
         return image_fn, feature_cache
 
-    gather = feature_cache.gather_fn()
+    gather = feature_cache.gather_fn(pallas_gather)
     arrays = (feature_cache.features, feature_cache.boxes)
     return (lambda cache, rows: gather(cache[0], cache[1], rows)), arrays
 
@@ -142,7 +153,8 @@ def sparse_or_dense_score(logits, batch, mask=None):
 
 def build_train_step(model, tx, mesh,
                      feature_cache=None,
-                     n_answers: Optional[int] = None) -> Callable:
+                     n_answers: Optional[int] = None,
+                     pallas_gather: bool = False) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     feature_cache: None (host mode), a (features, boxes) replicated
@@ -150,7 +162,7 @@ def build_train_step(model, tx, mesh,
     image_row / sparse labels instead of dense tensors.
     """
     del mesh  # sharding is carried by the arguments
-    image_fn, cache_arrays = make_image_fn(feature_cache)
+    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], cache
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -187,14 +199,15 @@ def build_train_step(model, tx, mesh,
 def build_eval_step(model, mesh,
                     feature_cache=None,
                     n_answers: Optional[int] = None,
-                    return_adjacency: bool = False) -> Callable:
+                    return_adjacency: bool = False,
+                    pallas_gather: bool = False) -> Callable:
     """Returns eval_step(params, batch) -> (preds, score, adjacency).
 
     adjacency is a 0-size placeholder unless return_adjacency=True —
     returning the (B, K, K) tensor every step costs real HBM/transfer
     bandwidth and only the visualization path wants it."""
     del mesh
-    image_fn, cache_arrays = make_image_fn(feature_cache)
+    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather)
 
     def step(params, batch, cache):
         question, image, qlen, _, score_fn = _assemble_inputs(
