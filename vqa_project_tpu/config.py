@@ -85,9 +85,10 @@ class TrainConfig:
     feature_cache_dtype: str = "auto"      # auto | float32 | bfloat16
     # Serve the replicated-cache row gather with the Pallas
     # scalar-prefetch DMA kernel (ops/pallas/gather_rows.py) instead of
-    # XLA's jnp.take lowering. Wins ~10% of gather time at multi-GB
-    # table sizes; opt-in for the same reason as use_pallas (cold
-    # Mosaic remote-compile on the tunneled dev chip).
+    # XLA's jnp.take lowering. Measured end-to-end on the real chip at
+    # a 4.8 GB table it LOSES (9.6k vs 11.7k qa/s, f32): one DMA per
+    # grid step can't beat XLA's fused take. Kept opt-in as an honest
+    # negative result + a base for a future multi-row-per-step tiling.
     pallas_gather: bool = False
 
 

@@ -77,9 +77,10 @@ class ShardedFeatureCache:
         in the stored dtypes (no f32 round trip — the model concatenates
         in its compute dtype and reads pseudo-coords from the f32
         boxes). pallas_gather serves the per-chip feature gather with
-        the scalar-prefetch DMA kernel (ops/pallas/gather_rows.py) —
-        the real-data regime (36 GB table / 8 chips = multi-GB shards)
-        is exactly where XLA's take lowering degrades."""
+        the scalar-prefetch DMA kernel (ops/pallas/gather_rows.py);
+        opt-in — measured end-to-end it does NOT beat XLA's fused take
+        (see TrainConfig.pallas_gather), but it keeps the whole
+        sharded-cache path drivable through the Pallas code path."""
         axis = self.axis
         shard_size = self.shard_size
         if pallas_gather:
