@@ -90,7 +90,8 @@ def main():
         batch_size=bsize,
         feature_cache_dtype=os.environ.get("BENCH_FEATURE_DTYPE",
                                            "auto"),
-        pallas_gather=os.environ.get("BENCH_PALLAS_GATHER") == "1")
+        pallas_gather={"1": True, "0": False}.get(
+            os.environ.get("BENCH_PALLAS_GATHER", ""), "auto"))
     if cache_mode != "auto":
         # force the cache mode by steering the HBM-budget heuristic
         import dataclasses

@@ -201,3 +201,54 @@ def test_pallas_gather_training_bit_identical(tmp_path):
 
     for a, b in zip(run(False), run(True)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_table_roundtrip_and_packable():
+    from vqa_project_tpu.ops.pallas.gather_rows import pack_table, packable
+
+    # real shapes: f32 sublane 8, bf16 sublane 16 — both pack
+    assert packable((10, 36, 2048), np.float32)
+    assert packable((10, 36, 2048), jnp.bfloat16)
+    # 36*5 = 180 doesn't divide 8*128
+    assert not packable((10, 36, 5), np.float32)
+    tbl = np.arange(7 * 36 * 2048, dtype=np.float32).reshape(7, 36, 2048)
+    packed = pack_table(tbl)
+    assert packed.shape == (7, 8, 36 * 2048 // 8)
+    np.testing.assert_array_equal(
+        np.asarray(packed).reshape(7, 36, 2048), tbl)
+
+
+@pytest.mark.parametrize("b", [8, 16, 33])
+def test_gather_rows_dma_matches_take(rng, b):
+    """Ring-buffered DMA gather == table[rows], incl. b below/at/over
+    the ring depth (16)."""
+    from vqa_project_tpu.ops.pallas.gather_rows import gather_rows_dma
+
+    tbl = jnp.asarray(rng.standard_normal((40, 8, 256)).astype(np.float32))
+    rows = jnp.asarray(rng.integers(0, 40, b).astype(np.int32))
+    got = np.asarray(gather_rows_dma(tbl, rows, interpret=True))
+    np.testing.assert_array_equal(got, np.asarray(tbl)[np.asarray(rows)])
+
+
+def test_packed_cache_image_fn_matches_take_on_mesh():
+    """The 3-tuple (packed, boxes, (k, f)) cache path — DMA kernel under
+    shard_map on the virtual 8-device mesh — returns the same features
+    as the take path."""
+    from vqa_project_tpu.ops.pallas.gather_rows import pack_table
+    from vqa_project_tpu.parallel import make_mesh, replicate, shard_batch
+    from vqa_project_tpu.train.steps import make_image_fn
+
+    rng = np.random.default_rng(0)
+    n, k, f = 24, 8, 1024  # 8*1024 tile-aligns for f32
+    feats = rng.standard_normal((n, k, f)).astype(np.float32)
+    boxes = rng.standard_normal((n, k, 4)).astype(np.float32)
+    mesh = make_mesh(8)
+    packed = replicate(jnp.asarray(pack_table(feats)), mesh)
+    boxes_d = replicate(jnp.asarray(boxes), mesh)
+    rows = rng.integers(0, n, 32).astype(np.int32)
+    rows_d = shard_batch({"r": rows}, mesh)["r"]
+
+    image_fn, arrays = make_image_fn((packed, boxes_d, (k, f)), mesh=mesh)
+    got_f, got_b = jax.jit(image_fn)(arrays, rows_d)
+    np.testing.assert_array_equal(np.asarray(got_f), feats[rows])
+    np.testing.assert_array_equal(np.asarray(got_b), boxes[rows])

@@ -83,9 +83,13 @@ def input_args(argv=None):
                              "model inputs — boxes stay float32)")
     parser.add_argument("--pallas", action="store_true",
                         help="enable the fused Pallas graph kernel")
-    parser.add_argument("--pallas_gather", action="store_true",
-                        help="serve the feature-cache row gather with "
-                             "the Pallas scalar-prefetch DMA kernel")
+    parser.add_argument("--pallas_gather", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="feature-cache row gather: auto (default) "
+                             "uses the ring-buffered Pallas DMA kernel "
+                             "on TPU when the table tile-aligns "
+                             "(measured 2x at multi-GB tables), else "
+                             "jnp.take; on/off force it")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic mini-dataset")
     parser.add_argument("--seed", type=int, default=1000)
@@ -106,7 +110,9 @@ def make_configs(args):
         plot_dir=args.plot_dir, name=args.name, model_path=args.model_path,
         num_devices=args.num_devices, seed=args.seed,
         feature_cache_dtype=args.feature_cache_dtype,
-        pallas_gather=args.pallas_gather, tp=args.tp)
+        pallas_gather={"on": True, "off": False}.get(
+            args.pallas_gather, "auto"),
+        tp=args.tp)
     return mcfg, tcfg
 
 

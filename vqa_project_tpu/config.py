@@ -83,13 +83,19 @@ class TrainConfig:
     # unaffected), and a bf16 table halves HBM residency AND the
     # per-step gather traffic — mathematically identical model inputs.
     feature_cache_dtype: str = "auto"      # auto | float32 | bfloat16
-    # Serve the replicated-cache row gather with the Pallas
-    # scalar-prefetch DMA kernel (ops/pallas/gather_rows.py) instead of
-    # XLA's jnp.take lowering. Measured end-to-end on the real chip at
-    # a 4.8 GB table it LOSES (9.6k vs 11.7k qa/s, f32): one DMA per
-    # grid step can't beat XLA's fused take. Kept opt-in as an honest
-    # negative result + a base for a future multi-row-per-step tiling.
-    pallas_gather: bool = False
+    # Row-gather strategy for the device feature cache.
+    # "auto" (default): on TPU, pack the table once into a tile-aligned
+    #   view and serve each step's gather with the ring-buffered
+    #   HBM->HBM DMA kernel (ops/pallas/gather_rows.py::gather_rows_dma)
+    #   — measured 2.0x end-to-end at a 4.8 GB table (23.5k vs 11.7k
+    #   qa/s f32; XLA's take lowering degrades with TABLE size, the DMA
+    #   kernel costs only the data movement). Off-TPU, or when K*F
+    #   doesn't tile-align, falls back to jnp.take.
+    # True: force the Pallas path even where the packed layout isn't
+    #   available (uses the per-row blocked kernel — slower than take,
+    #   kept for interpret-mode testing).
+    # False: always jnp.take.
+    pallas_gather: object = "auto"  # "auto" | True | False
 
 
 @dataclasses.dataclass

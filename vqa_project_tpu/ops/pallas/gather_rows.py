@@ -1,15 +1,30 @@
-"""HBM-speed row gather via Pallas scalar prefetch.
+"""HBM-speed row gather via Pallas.
 
 The device-resident feature cache serves every training step with a
 row gather `table[rows]` (rows = the batch's image indices). XLA lowers
 that gather into a serialized dynamic-slice loop whose cost GROWS with
 the table size — measured on the v5e chip, gathering 256 rows of
-(36, 2048) f32 (75 MB) takes ~1 ms from a 28 MB table but ~15 ms from a
-4.8 GB table, ~50x off HBM speed. This kernel is the canonical TPU
-embedding-lookup pattern instead: the row indices are SCALAR-PREFETCHED
-so the BlockSpec index_map can address table blocks by row id, and
-Mosaic double-buffers one DMA per grid step. Cost is the data movement
-itself, independent of table size.
+(36, 2048) f32 (75 MB) takes ~1.7 ms from a 28 MB table but ~17.6 ms
+from a 4.8 GB table, ~50x off HBM speed.
+
+Two kernels:
+
+- `gather_rows_blocked`: scalar-prefetched index_map, one (1, K, F)
+  block per grid step, Mosaic double-buffers. Measured end-to-end it
+  LOSES to XLA's fused take (9.6k vs 11.7k qa/s at the 4.8 GB table) —
+  per-grid-step overhead x256 dominates. Kept because it runs in
+  interpret mode on CPU (the bit-identical tests and the virtual-mesh
+  train path use it) and handles any row shape.
+- `gather_rows_dma`: ONE kernel invocation that issues all B row
+  copies as ring-buffered async HBM->HBM DMAs (table and output both
+  stay in HBM; no VMEM staging, no per-block grid overhead). This is
+  the canonical TPU embedding-lookup shape for ~300 KB rows: cost is
+  the DMA issue loop (~us/row) + the data movement itself, independent
+  of table size. Mosaic requires HBM slices to be TILE-ALIGNED
+  (sublane x lane = 8x128 for f32, 16x128 for bf16), so the caller
+  packs the (N, K, F) table once into an aligned (N, S, K*F/S) view
+  via `pack_table` — possible whenever K*F divides by S*128, which
+  holds for the real shapes (36*2048).
 
 No VJP is defined: the feature table is data, not a parameter — no
 gradient ever flows through the cache gather.
@@ -22,24 +37,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_RING = 16  # in-flight DMA depth; plenty to hide per-copy issue latency
+
+_SUBLANE = {4: 8, 2: 16, 1: 32}  # itemsize -> sublane count
+_LANE = 128
+
 
 def _copy_kernel(rows_ref, tbl_ref, out_ref):
     del rows_ref  # consumed by the index_map, not the body
     out_ref[...] = tbl_ref[...]
 
 
-def gather_rows(table: jax.Array, rows: jax.Array, *,
-                interpret: bool | None = None) -> jax.Array:
-    """table[rows] for a (N, K, F) table and (B,) int32 rows.
-
-    One grid step DMAs one (1, K, F) row block, destination-indexed by
-    the prefetched row id. Rows must be in-range (the cache layer clamps
-    padded rows before calling). interpret=None auto-selects interpret
-    mode off-TPU, so the train step stays runnable on the virtual CPU
-    test mesh with the same code path.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def gather_rows_blocked(table: jax.Array, rows: jax.Array, *,
+                        interpret: bool = False) -> jax.Array:
+    """table[rows] with one (1, K, F) block DMA per grid step."""
     b = rows.shape[0]
     _, k, f = table.shape
     return pl.pallas_call(
@@ -55,3 +66,94 @@ def gather_rows(table: jax.Array, rows: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((b, k, f), table.dtype),
         interpret=interpret,
     )(rows.astype(jnp.int32), table)
+
+
+def packable(shape, dtype) -> bool:
+    """True when a (N, K, F) table can be viewed tile-aligned."""
+    _, k, f = shape
+    sub = _SUBLANE.get(jnp.dtype(dtype).itemsize)
+    return sub is not None and (k * f) % (sub * _LANE) == 0
+
+
+def pack_table(table: jax.Array) -> jax.Array:
+    """(N, K, F) -> tile-aligned (N, S, K*F/S) view for the DMA kernel.
+
+    Run ONCE at cache-build time: on TPU the reshape repacks the
+    physical tiles (the (N, K, F) layout pads K up to a sublane
+    multiple), so doing it per-step would re-stream the whole table.
+    """
+    n, k, f = table.shape
+    s = _SUBLANE[jnp.dtype(table.dtype).itemsize]
+    assert packable(table.shape, table.dtype), (table.shape, table.dtype)
+    return table.reshape(n, s, (k * f) // s)
+
+
+def _dma_kernel(rows_ref, tbl_ref, out_ref, sems):
+    """Ring-buffered HBM->HBM row copies; one invocation moves all B."""
+    b = out_ref.shape[0]
+
+    def copy(i):
+        return pltpu.make_async_copy(
+            tbl_ref.at[rows_ref[i]], out_ref.at[i], sems.at[i % _RING])
+
+    def fill(i, c):
+        copy(i).start()
+        return c
+
+    jax.lax.fori_loop(0, min(_RING, b), fill, 0)
+
+    def steady(i, c):
+        # slot i%RING was used by copy i-RING; retire it before reuse
+        copy(i - _RING).wait()
+        copy(i).start()
+        return c
+
+    jax.lax.fori_loop(_RING, b, steady, 0)
+
+    def drain(i, c):
+        copy(i).wait()
+        return c
+
+    jax.lax.fori_loop(max(0, b - _RING), b, drain, 0)
+
+
+def gather_rows_dma(packed: jax.Array, rows: jax.Array, *,
+                    interpret: bool | None = None) -> jax.Array:
+    """packed[rows] as B ring-buffered HBM->HBM DMAs in one invocation.
+
+    packed must be a pack_table() view (dims 1-2 tile-aligned).
+    interpret=None auto-selects interpret mode off-TPU (the kernel's
+    DMA semantics are emulated — used by the virtual-mesh tests).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = rows.shape[0]
+    _, s, l = packed.shape
+    return pl.pallas_call(
+        _dma_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_RING,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, l), packed.dtype),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), packed)
+
+
+def gather_rows(table: jax.Array, rows: jax.Array, *,
+                interpret: bool | None = None) -> jax.Array:
+    """table[rows] for a (N, K, F) table and (B,) int32 rows.
+
+    Rows must be in-range (the cache layer clamps padded rows before
+    calling). interpret=None auto-selects interpret mode off-TPU, so
+    the train step stays runnable on the virtual CPU test mesh with the
+    same code path. NOTE: this convenience wrapper uses the blocked
+    kernel; the fast path is pack_table() once + gather_rows_dma()
+    per step (see train/steps.py), which needs the packed layout.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return gather_rows_blocked(table, rows, interpret=interpret)

@@ -85,10 +85,27 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
         feats = np.asarray(store.features)
         if dtype != np.float32:
             feats = feats.astype(dtype)
-        return (
+        kf = None
+        if getattr(train_cfg, "pallas_gather", False):
+            # Pack ONCE (a free host-side view) into the tile-aligned
+            # (N, S, K*F/S) layout the DMA gather kernel requires; the
+            # 3rd tuple element carries the logical (K, F) so the step
+            # can reshape gathered rows back. TPU-only: the packed
+            # layout buys nothing in interpret mode.
+            import jax as _jax
+
+            from vqa_project_tpu.ops.pallas.gather_rows import (
+                pack_table, packable)
+            if (_jax.default_backend() == "tpu"
+                    and packable(feats.shape, dtype)):
+                _, k, f = feats.shape
+                feats = pack_table(feats)
+                kf = (k, f)
+        pair = (
             replicate(jnp.asarray(feats), mesh),
             replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
         )
+        return pair if kf is None else pair + (kf,)
     if len(mesh.shape) > 1:
         # sharded cache assumes a 1-D data mesh (locality partitions
         # count chips on the data axis); with tp > 1 fall through to

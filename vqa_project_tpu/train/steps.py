@@ -62,11 +62,14 @@ def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
     return jnp.sum(score)
 
 
-def make_image_fn(feature_cache, pallas_gather: bool = False):
+def make_image_fn(feature_cache, pallas_gather=False, mesh=None,
+                  data_axis: str = "data"):
     """Normalize the cache argument into (image_fn, cache_arrays).
 
     feature_cache is either None (host mode), a (features, boxes) tuple
-    of replicated device arrays, or a ShardedFeatureCache (mesh-sharded
+    of replicated device arrays, a (packed_features, boxes, (k, f))
+    3-tuple (tile-aligned table for the DMA gather kernel — see
+    loop.make_feature_cache), or a ShardedFeatureCache (mesh-sharded
     table + communication-free shard_map gather).
 
     The table arrays are returned SEPARATELY and must be passed to
@@ -77,6 +80,46 @@ def make_image_fn(feature_cache, pallas_gather: bool = False):
     if feature_cache is None:
         return None, ()
     if isinstance(feature_cache, tuple):
+        if len(feature_cache) == 3:
+            # (packed_features, boxes, (k, f)) from make_feature_cache:
+            # the fast path. One kernel invocation ring-buffers all B
+            # row copies HBM->HBM; measured 2.0x end-to-end vs
+            # jnp.take at a 4.8 GB table (take's cost grows with table
+            # size; the DMA kernel costs only the data movement).
+            from vqa_project_tpu.ops.pallas.gather_rows import \
+                gather_rows_dma
+
+            packed, boxes_tbl, (k, f) = feature_cache
+
+            def gather_local(features, rows):
+                feats = gather_rows_dma(features, rows)
+                return feats.reshape(rows.shape[0], k, f)
+
+            if mesh is not None and mesh.devices.size > 1:
+                # SPMD has no native partitioning rule for a Pallas
+                # custom call; shard_map pins it per-chip (table
+                # replicated, rows/output batch-sharded — same layout
+                # the take path gets from XLA's gather rules).
+                from jax.sharding import PartitionSpec as P
+                try:
+                    from jax import shard_map
+                except ImportError:  # older jax
+                    from jax.experimental.shard_map import shard_map
+
+                batch_spec = P(data_axis)
+                gather_local = shard_map(
+                    gather_local, mesh=mesh,
+                    in_specs=(P(), batch_spec),
+                    out_specs=batch_spec, check_vma=False)
+
+            def image_fn(cache, rows):
+                features, boxes = cache
+                return (gather_local(features, rows),
+                        jnp.take(boxes, rows, axis=0, mode="clip"))
+
+            return image_fn, (packed, boxes_tbl)
+
+        pallas_gather = pallas_gather is True  # "auto" -> take here
         if pallas_gather:
             from vqa_project_tpu.ops.pallas.gather_rows import gather_rows
 
@@ -87,8 +130,9 @@ def make_image_fn(feature_cache, pallas_gather: bool = False):
             # bf16 table that halves gather+concat HBM traffic) and reads
             # pseudo-coordinates from the f32 boxes.
             if pallas_gather:
-                # scalar-prefetch DMA gather for the big table; boxes
-                # (B, K, 4) are too small to pay a kernel for
+                # blocked scalar-prefetch gather: interpret-safe path
+                # for the virtual CPU mesh (the TPU path packs the
+                # table and takes the DMA branch above)
                 feats = gather_rows(features, rows)
             else:
                 # mode="clip": rows are in-range by the Batcher's
@@ -100,7 +144,7 @@ def make_image_fn(feature_cache, pallas_gather: bool = False):
 
         return image_fn, feature_cache
 
-    gather = feature_cache.gather_fn(pallas_gather)
+    gather = feature_cache.gather_fn(pallas_gather is True)
     arrays = (feature_cache.features, feature_cache.boxes)
     return (lambda cache, rows: gather(cache[0], cache[1], rows)), arrays
 
@@ -154,15 +198,17 @@ def sparse_or_dense_score(logits, batch, mask=None):
 def build_train_step(model, tx, mesh,
                      feature_cache=None,
                      n_answers: Optional[int] = None,
-                     pallas_gather: bool = False) -> Callable:
+                     pallas_gather=False) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     feature_cache: None (host mode), a (features, boxes) replicated
     tuple, or a ShardedFeatureCache; with a cache, batches carry
     image_row / sparse labels instead of dense tensors.
     """
-    del mesh  # sharding is carried by the arguments
-    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather)
+    # mesh is only needed to pin the Pallas DMA gather per-chip via
+    # shard_map; everything else carries sharding by the arguments
+    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather,
+                                           mesh)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], cache
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -200,14 +246,14 @@ def build_eval_step(model, mesh,
                     feature_cache=None,
                     n_answers: Optional[int] = None,
                     return_adjacency: bool = False,
-                    pallas_gather: bool = False) -> Callable:
+                    pallas_gather=False) -> Callable:
     """Returns eval_step(params, batch) -> (preds, score, adjacency).
 
     adjacency is a 0-size placeholder unless return_adjacency=True —
     returning the (B, K, K) tensor every step costs real HBM/transfer
     bandwidth and only the visualization path wants it."""
-    del mesh
-    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather)
+    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather,
+                                           mesh)
 
     def step(params, batch, cache):
         question, image, qlen, _, score_fn = _assemble_inputs(
