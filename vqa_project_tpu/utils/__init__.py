@@ -49,5 +49,10 @@ def enable_compilation_cache(path: str = None) -> str:
             or os.path.expanduser("~/.cache/vqax_jax_cache"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERYTHING (threshold 0): the remote compile service's
+    # latency is bimodal (the same trivial program measured 0.8 s and
+    # 150 s in adjacent runs). With the default 1 s threshold, a
+    # fast-path compile is never written, so the NEXT process can pay
+    # a slow-path recompile — the worst of both worlds.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return path
