@@ -84,8 +84,10 @@ def main():
     from vqa_project_tpu.parallel import replicate
     from vqa_project_tpu.train.loop import _locality_kwargs, make_feature_cache
 
-    mcfg = ModelConfig(compute_dtype="bfloat16",
-                       use_pallas=os.environ.get("BENCH_PALLAS") == "1")
+    mcfg = ModelConfig(
+        compute_dtype="bfloat16",
+        use_pallas={"1": True, "0": False}.get(
+            os.environ.get("BENCH_PALLAS", ""), "auto"))
     tcfg = TrainConfig(
         batch_size=bsize,
         feature_cache_dtype=os.environ.get("BENCH_FEATURE_DTYPE",

@@ -82,7 +82,10 @@ def input_args(argv=None):
                              "halves HBM + gather traffic at identical "
                              "model inputs — boxes stay float32)")
     parser.add_argument("--pallas", action="store_true",
-                        help="enable the fused Pallas graph kernel")
+                        help="force the fused Pallas graph kernel on "
+                             "(default: auto — on for TPU backends)")
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="force the fused Pallas graph kernel off")
     parser.add_argument("--pallas_gather", choices=["auto", "on", "off"],
                         default="auto",
                         help="feature-cache row gather: auto (default) "
@@ -102,7 +105,8 @@ def make_configs(args):
         emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
         neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
         dropout=args.dropout, compute_dtype=args.compute_dtype,
-        use_pallas=args.pallas)
+        use_pallas=(True if args.pallas
+                    else False if args.no_pallas else "auto"))
     tcfg = TrainConfig(
         lr=args.lr, epochs=args.ep, batch_size=args.bsize,
         log_interval=args.log_interval, eval_interval=args.eval_interval,

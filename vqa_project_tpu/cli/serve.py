@@ -38,6 +38,7 @@ def input_args(argv=None):
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     return p.parse_args(argv)
 
@@ -55,7 +56,8 @@ def build_server(args):
         emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
         neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
         dropout=args.dropout, compute_dtype=args.compute_dtype,
-        use_pallas=args.pallas)
+        use_pallas=(True if args.pallas
+                    else False if args.no_pallas else "auto"))
     model = build_model(mcfg, ds)
     if args.model_path and os.path.isfile(args.model_path):
         payload, _ = load_checkpoint(args.model_path, None)

@@ -36,10 +36,24 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Fused Pallas graph-aggregate kernel (ops/pallas/edge_aggregate.py).
-    # Opt-in: numerically identical to the XLA path (tested), but the
-    # axon-tunneled dev TPU pays ~270 s of remote Mosaic compile per
-    # kernel, so the default stays off; flip on for real deployments.
-    use_pallas: bool = False
+    # "auto" (default): on for TPU backends, off elsewhere (interpret
+    # mode is correct but slow). Numerically identical to the XLA path
+    # (oracle-tested both ways); measured it wins or ties end-to-end
+    # (27.3k vs 26.4k qa/s in the same window at bs 256). Cold Mosaic
+    # compiles are amortized by the persistent compilation cache.
+    # resolve_use_pallas() turns "auto" into a bool (build_model does
+    # this; GraphVQAModel also guards, for direct constructions).
+    # True/False force.
+    use_pallas: object = "auto"  # "auto" | True | False
+
+
+def resolve_use_pallas(flag) -> bool:
+    """"auto" -> True on TPU backends, False elsewhere; bools pass."""
+    if isinstance(flag, bool):
+        return flag
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 @dataclasses.dataclass

@@ -181,17 +181,23 @@ class GaussianGraphConv(nn.Module):
             from vqa_project_tpu.ops.pallas import fused_edge_aggregate
 
             b, k = features.shape[:2]
+            # proj flows to the kernel in the COMPUTE dtype: the
+            # in-kernel aggregation dots then match the XLA path's
+            # precision exactly (bf16 fast path for bf16 compute;
+            # f32 compute triggers the kernel's exact-f32 dots via
+            # _dot_precision) and the (B, K, nd) HBM round trip halves.
+            cdt = jnp.dtype(self.compute_dtype)
             proj = jnp.einsum(
-                "bjf,nfd->bjnd", features.astype(self.compute_dtype),
-                conv_kernels.astype(self.compute_dtype),
-                preferred_element_type=jnp.float32,
+                "bjf,nfd->bjnd", features.astype(cdt),
+                conv_kernels.astype(cdt),
+                preferred_element_type=cdt,
                 precision=matmul_precision(self.compute_dtype))
             gparams = jnp.stack([mean_rho, mean_theta,
                                  precision_rho, precision_theta])
             interpret = _jax.devices()[0].platform != "tpu"
             out = fused_edge_aggregate(
                 adjacency.astype(jnp.float32), pseudo,
-                proj.reshape(b, k, -1).astype(jnp.float32), gparams,
+                proj.reshape(b, k, -1), gparams,
                 self.neighbourhood_size, self.use_alpha, interpret)
             return out
 
@@ -229,6 +235,10 @@ class GraphVQAModel(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         cdt = jnp.dtype(cfg.compute_dtype)
+        # resolve "auto" for direct constructions that bypass
+        # train.loop.build_model (tests, __graft_entry__)
+        from vqa_project_tpu.config import resolve_use_pallas
+        use_pallas = resolve_use_pallas(cfg.use_pallas)
 
         # image arrives either pre-concatenated (B, K, feat+4) or as a
         # (features, boxes) pair. The pair form lets the device cache
@@ -279,7 +289,7 @@ class GraphVQAModel(nn.Module):
         # fp32; bf16 weights cost ~4e-3 abs error on the final hidden
         # state and ~30% of the scan time). With use_pallas the whole
         # recurrence runs as one VMEM-resident Pallas kernel.
-        if cfg.use_pallas:
+        if use_pallas:
             import jax as _jax
 
             from vqa_project_tpu.ops.pallas import gru_encode_pallas
@@ -303,7 +313,7 @@ class GraphVQAModel(nn.Module):
 
         # --- shared neighbourhood selection (dense masked form); the
         #     fused Pallas path recomputes it in-kernel instead ---
-        if cfg.use_pallas:
+        if use_pallas:
             alpha = mask = None
         else:
             alpha, mask = masked_neighbourhood(
@@ -313,7 +323,7 @@ class GraphVQAModel(nn.Module):
         hg1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
-            use_pallas=cfg.use_pallas,
+            use_pallas=use_pallas,
             compute_dtype=cdt, name="graph_convolution_1",
         )(image, adjacency, alpha, pseudo)
         hg1 = nn.relu(hg1)
@@ -323,7 +333,7 @@ class GraphVQAModel(nn.Module):
         hg2 = GaussianGraphConv(
             cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=False,
-            use_pallas=cfg.use_pallas,
+            use_pallas=use_pallas,
             compute_dtype=cdt, name="graph_convolution_2",
         )(hg1, adjacency, mask, pseudo)
         hg2 = nn.relu(hg2)

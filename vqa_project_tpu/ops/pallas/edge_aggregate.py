@@ -41,6 +41,17 @@ from vqa_project_tpu.ops.neighbourhood import masked_neighbourhood
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 
 
+def _dot_precision(dtype):
+    """f32 operands get exact f32 dots (Precision.HIGHEST), matching the
+    XLA path's matmul_precision(); bf16 operands keep the fast default
+    (HIGHEST is a no-op for bf16 inputs). Without this, Mosaic lowers
+    f32 dots to one bf16 MXU pass — measured 3e-3 abs error at K=51
+    f32 vs the XLA reference's 1e-6."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _pick_bt(b: int, target: int = 8) -> int:
     """Largest batch-tile <= target that divides b (grid must be exact)."""
     bt = min(target, b)
@@ -114,7 +125,8 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
         for n in range(n_kernels):
             w_n = sel * (gws[n] / denom)
             outs.append(jnp.dot(w_n, proj[:, n * d:(n + 1) * d],
-                                preferred_element_type=jnp.float32))
+                                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(proj.dtype)))
         out_ref[s] = jnp.concatenate(outs, axis=-1)
         return carry
 
@@ -139,7 +151,8 @@ def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref,
             ghat_n = gws[n] / denom
             ghats.append(ghat_n)
             outs.append(jnp.dot(sel * ghat_n, proj[:, n * d:(n + 1) * d],
-                                preferred_element_type=jnp.float32))
+                                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(proj.dtype)))
         ghat_ref[s] = jnp.stack(ghats)                 # (n, K, K)
         out_ref[s] = jnp.concatenate(outs, axis=-1)
         return carry
@@ -190,9 +203,11 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
             p_n = proj[:, n * d:(n + 1) * d]
             ghat_n = ghat[n]
             dprojs.append(jnp.dot((sel * ghat_n).T, g_n,
-                                  preferred_element_type=jnp.float32))
+                                  preferred_element_type=jnp.float32,
+                                  precision=_dot_precision(proj.dtype)))
             g_edge = jnp.dot(g_n, p_n.T,
-                             preferred_element_type=jnp.float32)  # (K,K)
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_precision(proj.dtype))  # (K,K)
             dsel = dsel + g_edge * ghat_n
             dgw_n = g_edge * sel
             dgws.append(dgw_n)
@@ -361,7 +376,9 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
       gparams.astype(jnp.float32))
     dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)
     dgparams = jnp.sum(dgp_part, axis=0)               # (4, n)
-    return dadj, dpseudo, dproj, dgparams
+    # cotangent dtype must mirror proj's (the model feeds bf16 proj in
+    # the bf16 compute policy; the kernel computes the grad in f32)
+    return dadj, dpseudo, dproj.astype(proj.dtype), dgparams
 
 
 def edge_aggregate_reference(adj, pseudo, proj, gparams, *, m, use_alpha):

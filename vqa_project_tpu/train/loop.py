@@ -41,9 +41,15 @@ from vqa_project_tpu.train.steps import build_eval_step, build_train_step
 
 
 def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
-    """Instantiate the model with dataset-derived dims (run.py:156-163)."""
+    """Instantiate the model with dataset-derived dims (run.py:156-163).
+
+    Resolves use_pallas="auto" here (TPU -> fused kernel, else XLA) so
+    the flax module only ever sees a bool."""
     import dataclasses
 
+    from vqa_project_tpu.config import resolve_use_pallas
+
+    use_pallas = resolve_use_pallas(model_cfg.use_pallas)
     cfg = dataclasses.replace(
         model_cfg,
         vocab_size=ds.q_words,
@@ -52,6 +58,7 @@ def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
         out_dim=ds.n_answers,
         n_obj=ds.n_obj,
         max_qlen=ds.max_qlen,
+        use_pallas=bool(use_pallas),
     )
     return GraphVQAModel(cfg=cfg, pretrained_wemb=ds.pretrained_wemb)
 

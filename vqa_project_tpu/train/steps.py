@@ -239,7 +239,14 @@ def build_train_step(model, tx, mesh,
     # (qid/mask for result emission) and are tiny in device-cache mode;
     # the cache arrays are never donated (reused every step).
     jit_step = jax.jit(step, donate_argnums=(0,))
-    return lambda state, batch: jit_step(state, batch, cache_arrays)
+
+    def wrapper(state, batch):
+        return jit_step(state, batch, cache_arrays)
+
+    # exposed for tooling (tools/step_costs.py: AOT lower + cost_analysis)
+    wrapper.jit_step = jit_step
+    wrapper.cache_arrays = cache_arrays
+    return wrapper
 
 
 def build_eval_step(model, mesh,
@@ -267,4 +274,10 @@ def build_eval_step(model, mesh,
         return preds, score, adjacency
 
     jit_step = jax.jit(step)
-    return lambda params, batch: jit_step(params, batch, cache_arrays)
+
+    def wrapper(params, batch):
+        return jit_step(params, batch, cache_arrays)
+
+    wrapper.jit_step = jit_step
+    wrapper.cache_arrays = cache_arrays
+    return wrapper
