@@ -127,7 +127,10 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
             outs.append(jnp.dot(w_n, proj[:, n * d:(n + 1) * d],
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(proj.dtype)))
-        out_ref[s] = jnp.concatenate(outs, axis=-1)
+        # accumulate f32, store in the proj dtype (bf16 in the compute
+        # policy): the step is HBM-bound and the f32 round trip of the
+        # (B, K, nd) output + its downstream converts cost ~200 MB/step
+        out_ref[s] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, bt, body, 0, unroll=False)
@@ -154,7 +157,7 @@ def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref,
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(proj.dtype)))
         ghat_ref[s] = jnp.stack(ghats)                 # (n, K, K)
-        out_ref[s] = jnp.concatenate(outs, axis=-1)
+        out_ref[s] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, bt, body, 0, unroll=False)
@@ -293,7 +296,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
         )(*args)
@@ -315,7 +318,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, n_kernels, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
