@@ -95,6 +95,10 @@ def input_args(argv=None):
                              "jnp.take; on/off force it")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic mini-dataset")
+    parser.add_argument("--synthetic_questions", type=int, default=96,
+                        help="QA pairs in the synthetic set (use a fresh "
+                             "--data_dir when changing this; the set is "
+                             "generated once per directory)")
     parser.add_argument("--seed", type=int, default=1000)
     args, unparsed = parser.parse_known_args(argv)
     return args, parser, unparsed
@@ -126,7 +130,9 @@ def _dataset(args, split):
 
         sdir = os.path.join(args.data_dir, "synthetic")
         if not os.path.exists(os.path.join(sdir, "train_q_dict.p")):
-            generate_synthetic_vqa(sdir, with_test=True, n_obj=args.n_obj)
+            generate_synthetic_vqa(
+                sdir, with_test=True, n_obj=args.n_obj,
+                n_questions=getattr(args, "synthetic_questions", 96))
         return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
     return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
 
