@@ -252,3 +252,31 @@ def test_packed_cache_image_fn_matches_take_on_mesh():
     got_f, got_b = jax.jit(image_fn)(arrays, rows_d)
     np.testing.assert_array_equal(np.asarray(got_f), feats[rows])
     np.testing.assert_array_equal(np.asarray(got_b), boxes[rows])
+
+
+def test_relu_epilogue_matches_reference(rng):
+    """fused_edge_aggregate_act(relu=True) == relu(reference), forward
+    and gradients (interpret). The dropout epilogue needs the TPU PRNG
+    (no interpret lowering) — its semantics are validated on hardware:
+    keep ratio, zero activations/grads on dropped units, 1/(1-p)
+    scaling, per-seed determinism (see the round-2 commit)."""
+    from vqa_project_tpu.ops.pallas.edge_aggregate import \
+        fused_edge_aggregate_act
+
+    adj, pseudo, proj, gparams = _inputs(rng)
+    got = fused_edge_aggregate_act(adj, pseudo, proj, gparams, None,
+                                   M, True, True, 0.0, True)
+    want = jax.nn.relu(edge_aggregate_reference(
+        adj, pseudo, proj, gparams, m=M, use_alpha=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    fa = lambda a, pr, g: jnp.sum(fused_edge_aggregate_act(
+        a, pseudo, pr, g, None, M, True, True, 0.0, True) ** 2)
+    fr = lambda a, pr, g: jnp.sum(jax.nn.relu(edge_aggregate_reference(
+        a, pseudo, pr, g, m=M, use_alpha=True)) ** 2)
+    ga = jax.grad(fa, argnums=(0, 1, 2))(adj, proj, gparams)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(adj, proj, gparams)
+    for x, y in zip(ga, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)

@@ -155,6 +155,10 @@ class GaussianGraphConv(nn.Module):
         adjacency: jnp.ndarray,         # (B, K, K) learned adjacency
         selection: jnp.ndarray,         # (B, K, K) alpha or 0/1 mask
         pseudo: jnp.ndarray,            # (B, K, K, 2) polar pseudo-coords
+        *,
+        fuse_relu: bool = False,        # Pallas path only: relu epilogue
+        dropout_rate: float = 0.0,      # Pallas+TPU only: in-kernel
+        seeds: jnp.ndarray = None,      #   inverted dropout, per-image
     ) -> jnp.ndarray:
         mean_rho = self.param("mean_rho", _uniform_init(0.0, 1.0),
                               (self.n_kernels,))
@@ -178,7 +182,8 @@ class GaussianGraphConv(nn.Module):
             import jax as _jax
 
             from vqa_project_tpu.ops.graph_conv import matmul_precision
-            from vqa_project_tpu.ops.pallas import fused_edge_aggregate
+            from vqa_project_tpu.ops.pallas.edge_aggregate import \
+                fused_edge_aggregate_act
 
             b, k = features.shape[:2]
             # proj flows to the kernel in the COMPUTE dtype: the
@@ -195,10 +200,11 @@ class GaussianGraphConv(nn.Module):
             gparams = jnp.stack([mean_rho, mean_theta,
                                  precision_rho, precision_theta])
             interpret = _jax.devices()[0].platform != "tpu"
-            out = fused_edge_aggregate(
+            out = fused_edge_aggregate_act(
                 adjacency.astype(jnp.float32), pseudo,
-                proj.reshape(b, k, -1), gparams,
-                self.neighbourhood_size, self.use_alpha, interpret)
+                proj.reshape(b, k, -1), gparams, seeds,
+                self.neighbourhood_size, self.use_alpha,
+                fuse_relu, dropout_rate, interpret)
             return out
 
         gw = gaussian_kernel_weights(
@@ -319,15 +325,34 @@ class GraphVQAModel(nn.Module):
             alpha, mask = masked_neighbourhood(
                 adjacency, cfg.neighbourhood_size)
 
-        # --- graph convolution 1 (alpha-weighted neighbours) ---
+        # --- graph convolution 1 (alpha-weighted neighbours); on the
+        #     fused path the relu (+ inverted dropout on real TPU, via
+        #     per-image PRNG seeds) runs as an in-kernel epilogue — the
+        #     interpret backend lacks the TPU PRNG, so the virtual-mesh
+        #     path keeps flax dropout outside the kernel ---
+        import jax as _jax
+
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        in_kernel_drop = (use_pallas and on_tpu and train
+                          and cfg.dropout > 0)
+        seeds = None
+        if in_kernel_drop:
+            seeds = jax.random.randint(
+                self.make_rng("dropout"), (image.shape[0],),
+                0, 2 ** 31 - 1, dtype=jnp.int32)
         hg1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
             use_pallas=use_pallas,
             compute_dtype=cdt, name="graph_convolution_1",
-        )(image, adjacency, alpha, pseudo)
-        hg1 = nn.relu(hg1)
-        hg1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(hg1)
+        )(image, adjacency, alpha, pseudo, fuse_relu=use_pallas,
+          dropout_rate=cfg.dropout if in_kernel_drop else 0.0,
+          seeds=seeds)
+        if not use_pallas:
+            hg1 = nn.relu(hg1)
+        if not in_kernel_drop:
+            hg1 = nn.Dropout(rate=cfg.dropout,
+                             deterministic=not train)(hg1)
 
         # --- graph convolution 2 (unweighted neighbours) ---
         hg2 = GaussianGraphConv(
@@ -335,8 +360,9 @@ class GraphVQAModel(nn.Module):
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=False,
             use_pallas=use_pallas,
             compute_dtype=cdt, name="graph_convolution_2",
-        )(hg1, adjacency, mask, pseudo)
-        hg2 = nn.relu(hg2)
+        )(hg1, adjacency, mask, pseudo, fuse_relu=use_pallas)
+        if not use_pallas:
+            hg2 = nn.relu(hg2)
 
         # --- max-pool over nodes, fuse with question ---
         h_max_indices = jnp.argmax(hg2, axis=1)          # (B, hid)

@@ -111,9 +111,32 @@ def _gaussians_one(rho, theta, gp_ref, n_kernels: int):
     return gws, jnp.maximum(denom, 1e-20)
 
 
-def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
-            m: int, n_kernels: int, d: int, use_alpha: bool, bt: int):
+def _epilogue(acc, s, seed_ref, *, relu: bool, dropout_rate: float,
+              bt: int = 1):
+    """Fused activation tail: relu, then inverted dropout from the TPU
+    PRNG seeded per image (seed_ref[s]). dropout implies relu here (the
+    backward reconstructs BOTH masks from out>0 alone: out>0 iff the
+    unit was kept AND positive, and dropped units contribute zero
+    gradient regardless of sign)."""
+    if relu or dropout_rate > 0:
+        acc = jnp.maximum(acc, 0.0)
+    if dropout_rate > 0:
+        pltpu.prng_seed(seed_ref[pl.program_id(0) * bt + s])
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits(acc.shape), jnp.uint32)
+        thresh = jnp.uint32(min(int(dropout_rate * 2.0 ** 32),
+                                2 ** 32 - 1))
+        keep = (bits >= thresh).astype(jnp.float32)
+        acc = acc * keep * jnp.float32(1.0 / (1.0 - dropout_rate))
+    return acc
+
+
+def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, *refs,
+            m: int, n_kernels: int, d: int, use_alpha: bool, bt: int,
+            relu: bool = False, dropout_rate: float = 0.0):
     """Inference forward: bt images per grid step, no residuals."""
+    seed_ref = refs[0] if dropout_rate > 0 else None
+    out_ref = refs[-1]
 
     def body(s, carry):
         adj = adj_ref[s]                               # (K, K) f32
@@ -130,16 +153,20 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref, *,
         # accumulate f32, store in the proj dtype (bf16 in the compute
         # policy): the step is HBM-bound and the f32 round trip of the
         # (B, K, nd) output + its downstream converts cost ~200 MB/step
-        out_ref[s] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+        acc = _epilogue(jnp.concatenate(outs, axis=-1), s, seed_ref,
+                        relu=relu, dropout_rate=dropout_rate, bt=bt)
+        out_ref[s] = acc.astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, bt, body, 0, unroll=False)
 
 
-def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref,
-                sel_ref, ghat_ref, denom_ref, *,
-                m: int, n_kernels: int, d: int, use_alpha: bool, bt: int):
+def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, *refs,
+                m: int, n_kernels: int, d: int, use_alpha: bool, bt: int,
+                relu: bool = False, dropout_rate: float = 0.0):
     """Training forward: also saves (sel, normalized gaussian, denom)."""
+    seed_ref = refs[0] if dropout_rate > 0 else None
+    out_ref, sel_ref, ghat_ref, denom_ref = refs[-4:]
 
     def body(s, carry):
         adj = adj_ref[s]
@@ -157,16 +184,18 @@ def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, out_ref,
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(proj.dtype)))
         ghat_ref[s] = jnp.stack(ghats)                 # (n, K, K)
-        out_ref[s] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+        acc = _epilogue(jnp.concatenate(outs, axis=-1), s, seed_ref,
+                        relu=relu, dropout_rate=dropout_rate, bt=bt)
+        out_ref[s] = acc.astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, bt, body, 0, unroll=False)
 
 
 def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
-                proj_ref, gp_ref,
-                dadj_ref, dpseudo_ref, dproj_ref, dgp_ref, *,
-                n_kernels: int, d: int, use_alpha: bool, bt: int):
+                proj_ref, gp_ref, *refs,
+                n_kernels: int, d: int, use_alpha: bool, bt: int,
+                epilogue: bool = False, inv_keep: float = 1.0):
     """Hand-derived VJP of the fused graph block, fully in VMEM.
 
     Matches jax.vjp(edge_aggregate_reference) term by term:
@@ -186,9 +215,21 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
                path only — the 0/1 mask path is piecewise constant]
     """
     two_pi = jnp.float32(2.0 * math.pi)
+    if epilogue:
+        out_ref = refs[0]
+        dadj_ref, dpseudo_ref, dproj_ref, dgp_ref = refs[1:]
+    else:
+        dadj_ref, dpseudo_ref, dproj_ref, dgp_ref = refs
 
     def body(s, dgp_acc):
         g = g_ref[s]                                   # (K, nd) f32
+        if epilogue:
+            # out>0 encodes relu AND dropout-keep; dropped/negative
+            # units get exactly-zero gradient, kept ones the 1/(1-p)
+            # inverted-dropout scale. Compare in f32 — the VPU has no
+            # bf16 cmpf ("Target does not support this comparison").
+            g = g * (out_ref[s].astype(jnp.float32) > 0
+                     ).astype(jnp.float32) * jnp.float32(inv_keep)
         sel = sel_ref[s]                               # (K, K)
         ghat = ghat_ref[s]                             # (n, K, K)
         denom = denom_ref[s]                           # (K, K)
@@ -266,7 +307,8 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
 
 
 def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
-                    interpret=False, save_residuals=False):
+                    interpret=False, save_residuals=False,
+                    relu=False, dropout_rate=0.0, seeds=None):
     b, k, _ = adj.shape
     n_kernels = gparams.shape[1]
     nd = proj.shape[-1]
@@ -285,11 +327,19 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
         pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    args = (adj.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
-            proj, gparams.astype(jnp.float32))
+    args = [adj.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
+            proj, gparams.astype(jnp.float32)]
+    if dropout_rate > 0:
+        assert seeds is not None, "in-kernel dropout needs per-image seeds"
+        # full-array SMEM block (Mosaic only tiles rank-1 blocks at 128
+        # granularity); the kernel indexes it by global image id
+        in_specs.append(pl.BlockSpec((b,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM))
+        args.append(seeds.astype(jnp.int32))
+    ep = dict(relu=relu, dropout_rate=dropout_rate)
     if not save_residuals:
         kern = functools.partial(_kernel, m=m, n_kernels=n_kernels, d=d,
-                                 use_alpha=use_alpha, bt=bt)
+                                 use_alpha=use_alpha, bt=bt, **ep)
         return pl.pallas_call(
             kern,
             grid=(b // bt,),
@@ -302,7 +352,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
         )(*args)
 
     kern = functools.partial(_kernel_res, m=m, n_kernels=n_kernels, d=d,
-                             use_alpha=use_alpha, bt=bt)
+                             use_alpha=use_alpha, bt=bt, **ep)
     return pl.pallas_call(
         kern,
         grid=(b // bt,),
@@ -329,15 +379,19 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
 
 
 def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
-                     use_alpha, interpret=False):
+                     use_alpha, interpret=False, out=None,
+                     dropout_rate=0.0):
     b, k, _ = sel.shape
     n_kernels = gparams.shape[1]
     nd = proj.shape[-1]
     d = nd // n_kernels
     bt = _pick_bt(b)
+    epilogue = out is not None
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0 else 1.0
 
     kern = functools.partial(_kernel_bwd, n_kernels=n_kernels, d=d,
-                             use_alpha=use_alpha, bt=bt)
+                             use_alpha=use_alpha, bt=bt,
+                             epilogue=epilogue, inv_keep=inv_keep)
     dadj, dpseudo_cm, dproj, dgp_part = pl.pallas_call(
         kern,
         grid=(b // bt,),
@@ -356,7 +410,8 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)] if epilogue else []),
         out_specs=[
             pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -376,7 +431,8 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(g.astype(jnp.float32), sel, ghat, denom, pseudo_cm, proj,
-      gparams.astype(jnp.float32))
+      gparams.astype(jnp.float32),
+      *(() if not epilogue else (out,)))
     dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)
     dgparams = jnp.sum(dgp_part, axis=0)               # (4, n)
     # cotangent dtype must mirror proj's (the model feeds bf16 proj in
@@ -402,9 +458,10 @@ def edge_aggregate_reference(adj, pseudo, proj, gparams, *, m, use_alpha):
     return out.reshape(b, k, nd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_edge_aggregate(adj, pseudo, proj, gparams, m, use_alpha,
-                         interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_edge_aggregate_act(adj, pseudo, proj, gparams, seeds, m,
+                             use_alpha, relu=False, dropout_rate=0.0,
+                             interpret=False):
     """Differentiable fused graph block.
 
     Forward and backward each run ONE Pallas kernel: the forward saves
@@ -423,23 +480,38 @@ def fused_edge_aggregate(adj, pseudo, proj, gparams, m, use_alpha,
     Returns: (B, K, n_kernels*d) float32.
     """
     return _pallas_forward(adj, pseudo, proj, gparams, m=m,
-                           use_alpha=use_alpha, interpret=interpret)
+                           use_alpha=use_alpha, interpret=interpret,
+                           relu=relu, dropout_rate=dropout_rate,
+                           seeds=seeds)
 
 
-def _fwd(adj, pseudo, proj, gparams, m, use_alpha, interpret):
+def _fwd(adj, pseudo, proj, gparams, seeds, m, use_alpha, relu,
+         dropout_rate, interpret):
     out, sel, ghat, denom = _pallas_forward(
         adj, pseudo, proj, gparams, m=m, use_alpha=use_alpha,
-        interpret=interpret, save_residuals=True)
+        interpret=interpret, save_residuals=True,
+        relu=relu, dropout_rate=dropout_rate, seeds=seeds)
     pseudo_cm = jnp.moveaxis(pseudo, -1, 1)
-    return out, (sel, ghat, denom, pseudo_cm, proj, gparams)
+    epi_out = out if (relu or dropout_rate > 0) else None
+    return out, (sel, ghat, denom, pseudo_cm, proj, gparams, epi_out)
 
 
-def _bwd(m, use_alpha, interpret, res, g):
-    del m
-    sel, ghat, denom, pseudo_cm, proj, gparams = res
-    return _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj,
-                            gparams, use_alpha=use_alpha,
-                            interpret=interpret)
+def _bwd(m, use_alpha, relu, dropout_rate, interpret, res, g):
+    del m, relu
+    sel, ghat, denom, pseudo_cm, proj, gparams, epi_out = res
+    grads = _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj,
+                             gparams, use_alpha=use_alpha,
+                             interpret=interpret, out=epi_out,
+                             dropout_rate=dropout_rate)
+    return grads + (None,)  # seeds carry no gradient
 
 
-fused_edge_aggregate.defvjp(_fwd, _bwd)
+fused_edge_aggregate_act.defvjp(_fwd, _bwd)
+
+
+def fused_edge_aggregate(adj, pseudo, proj, gparams, m, use_alpha,
+                         interpret=False):
+    """Plain fused graph block (no activation epilogue) — the oracle
+    surface used by the tests; see fused_edge_aggregate_act."""
+    return fused_edge_aggregate_act(adj, pseudo, proj, gparams, None,
+                                    m, use_alpha, False, 0.0, interpret)
