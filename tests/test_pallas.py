@@ -280,3 +280,44 @@ def test_relu_epilogue_matches_reference(rng):
     for x, y in zip(ga, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_merged_graph_block_matches_reference(rng):
+    """ops/pallas/graph_block.py: the whole-block kernel (projections +
+    both convs + activation tail in ONE call per direction) matches the
+    chained XLA reference in forward and all 7 gradients. The block is
+    numerically exact but measured slower end-to-end at the VQA dims
+    (25.1k vs ~30k qa/s), so it ships default-off (VQAX_MERGED_BLOCK)."""
+    from vqa_project_tpu.ops.pallas.graph_block import (
+        fused_graph_block, fused_graph_block_reference)
+
+    B_, K_, M_, N_, F1, D1, D2 = 4, 12, 5, 4, 68, 16, 8
+    adj = jnp.asarray(rng.normal(size=(B_, K_, K_)).astype(np.float32))
+    pseudo = jnp.asarray(np.stack(
+        [rng.uniform(0, 1.5, (B_, K_, K_)),
+         rng.uniform(-np.pi, np.pi, (B_, K_, K_))], -1).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B_, K_, F1)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(N_, F1, D1)) * .1).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(N_, N_ * D1, D2)) * .1)
+                     .astype(np.float32))
+    gp = lambda: jnp.asarray(np.stack(
+        [rng.uniform(.2, 1, N_), rng.uniform(-np.pi, np.pi, N_),
+         rng.uniform(.2, 1, N_), rng.uniform(.2, 1, N_)]).astype(np.float32))
+    gp1, gp2 = gp(), gp()
+
+    got = fused_graph_block(adj, pseudo, feats, w1, gp1, w2, gp2,
+                            None, M_, 0.0, True)
+    want = fused_graph_block_reference(adj, pseudo, feats, w1, gp1,
+                                       w2, gp2, m=M_)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    fk = lambda *a: jnp.sum(fused_graph_block(*a, None, M_, 0.0, True) ** 2)
+    fr = lambda *a: jnp.sum(fused_graph_block_reference(*a, m=M_) ** 2)
+    gk = jax.grad(fk, argnums=tuple(range(7)))(adj, pseudo, feats, w1,
+                                               gp1, w2, gp2)
+    gr = jax.grad(fr, argnums=tuple(range(7)))(adj, pseudo, feats, w1,
+                                               gp1, w2, gp2)
+    for x, y in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-4)

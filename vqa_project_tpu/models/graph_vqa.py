@@ -21,6 +21,7 @@ state_dicts can be imported via models/torch_import.py.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -159,6 +160,7 @@ class GaussianGraphConv(nn.Module):
         fuse_relu: bool = False,        # Pallas path only: relu epilogue
         dropout_rate: float = 0.0,      # Pallas+TPU only: in-kernel
         seeds: jnp.ndarray = None,      #   inverted dropout, per-image
+        params_only: bool = False,      # just declare+return the params
     ) -> jnp.ndarray:
         mean_rho = self.param("mean_rho", _uniform_init(0.0, 1.0),
                               (self.n_kernels,))
@@ -177,6 +179,12 @@ class GaussianGraphConv(nn.Module):
             _torch_linear_init(self.in_dim),
             (self.n_kernels, self.in_dim, self.out_dim // self.n_kernels),
         )
+        if params_only:
+            # the merged whole-block kernel (ops/pallas/graph_block.py)
+            # consumes both convs' parameters directly
+            return (jnp.stack([mean_rho, mean_theta,
+                               precision_rho, precision_theta]),
+                    conv_kernels)
 
         if self.use_pallas:
             import jax as _jax
@@ -340,29 +348,57 @@ class GraphVQAModel(nn.Module):
             seeds = jax.random.randint(
                 self.make_rng("dropout"), (image.shape[0],),
                 0, 2 ** 31 - 1, dtype=jnp.int32)
-        hg1 = GaussianGraphConv(
+        conv1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
             use_pallas=use_pallas,
-            compute_dtype=cdt, name="graph_convolution_1",
-        )(image, adjacency, alpha, pseudo, fuse_relu=use_pallas,
-          dropout_rate=cfg.dropout if in_kernel_drop else 0.0,
-          seeds=seeds)
-        if not use_pallas:
-            hg1 = nn.relu(hg1)
-        if not in_kernel_drop:
-            hg1 = nn.Dropout(rate=cfg.dropout,
-                             deterministic=not train)(hg1)
-
-        # --- graph convolution 2 (unweighted neighbours) ---
-        hg2 = GaussianGraphConv(
+            compute_dtype=cdt, name="graph_convolution_1")
+        conv2 = GaussianGraphConv(
             cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=False,
             use_pallas=use_pallas,
-            compute_dtype=cdt, name="graph_convolution_2",
-        )(hg1, adjacency, mask, pseudo, fuse_relu=use_pallas)
-        if not use_pallas:
-            hg2 = nn.relu(hg2)
+            compute_dtype=cdt, name="graph_convolution_2")
+
+        if use_pallas and on_tpu and os.environ.get(
+                "VQAX_MERGED_BLOCK", "0") == "1":
+            # whole-block kernel: proj1 -> agg1(alpha) -> relu/dropout
+            # -> proj2 -> agg2(mask) -> relu, ONE Pallas call per
+            # direction (ops/pallas/graph_block.py). OFF by default:
+            # measured SLOWER end-to-end at the VQA dims (25.1k vs
+            # ~30k qa/s) — one core serializing the whole chain loses
+            # to XLA overlapping its batched projections with the rest
+            # of the step, even with tile-level (bt*K-row) in-kernel
+            # matmuls. Kept exact (oracle-tested both directions) for
+            # shapes where call-count dominates.
+            from vqa_project_tpu.ops.pallas.graph_block import \
+                fused_graph_block
+
+            gp1, k1 = conv1(image, adjacency, alpha, pseudo,
+                            params_only=True)
+            gp2, k2 = conv2(image, adjacency, mask, pseudo,
+                            params_only=True)
+            hg2 = fused_graph_block(
+                adjacency.astype(jnp.float32), pseudo,
+                image.astype(cdt), k1, gp1, k2, gp2, seeds,
+                cfg.neighbourhood_size,
+                cfg.dropout if in_kernel_drop else 0.0, False)
+        else:
+            hg1 = conv1(image, adjacency, alpha, pseudo,
+                        fuse_relu=use_pallas,
+                        dropout_rate=cfg.dropout if in_kernel_drop
+                        else 0.0,
+                        seeds=seeds)
+            if not use_pallas:
+                hg1 = nn.relu(hg1)
+            if not in_kernel_drop:
+                hg1 = nn.Dropout(rate=cfg.dropout,
+                                 deterministic=not train)(hg1)
+
+            # --- graph convolution 2 (unweighted neighbours) ---
+            hg2 = conv2(hg1, adjacency, mask, pseudo,
+                        fuse_relu=use_pallas)
+            if not use_pallas:
+                hg2 = nn.relu(hg2)
 
         # --- max-pool over nodes, fuse with question ---
         h_max_indices = jnp.argmax(hg2, axis=1)          # (B, hid)
