@@ -91,12 +91,17 @@ class WeightNormDense(nn.Module):
         )
         norm = jnp.linalg.norm(v.astype(jnp.float32), axis=0)
         scale = (g.astype(jnp.float32) / jnp.maximum(norm, 1e-12))
-        w = v.astype(jnp.float32) * scale[None, :]
+        # scale the OUTPUT columns instead of materializing g*v/||v||:
+        # x @ (v*scale) == (x @ v) * scale exactly per column, but the
+        # (in, out) scaled-weight tensor (36 MB at out_2) never exists —
+        # the scale runs over the (B, out) activations instead, and the
+        # backward's dv comes straight from the matmul VJP.
         y = jnp.dot(
             x.astype(self.compute_dtype),
-            w.astype(self.compute_dtype),
-            preferred_element_type=out_dtype,
+            v.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
         )
+        y = (y * scale[None, :]).astype(out_dtype)
         if self.use_bias:
             b = self.param("b", _torch_linear_init(in_dim), (self.features,))
             y = y + b.astype(out_dtype)
