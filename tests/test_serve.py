@@ -134,6 +134,12 @@ def test_http_roundtrip(served):
             {"question": "no image"}))
         assert conn.getresponse().status == 400
 
+        conn.request("POST", "/predict", body=json.dumps(
+            {"question": "q", "features": [[0.0] * 24] * 8}))
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "boxes" in json.loads(resp.read())["error"]
+
         conn.request("GET", "/nope")
         assert conn.getresponse().status == 404
     finally:

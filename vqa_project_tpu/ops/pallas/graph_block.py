@@ -71,102 +71,6 @@ def _select_both(adj, m: int):
     return mask, alpha
 
 
-def _conv_fwd_one(sel, gws, denom, x, w_ref, n_kernels, d, prec):
-    """Per-image projection + aggregation: returns (out, ghats).
-
-    out (K, n*d) f32 pre-activation; ghats list of (K, K)."""
-    outs, ghats = [], []
-    for n in range(n_kernels):
-        ghat_n = gws[n] / denom
-        ghats.append(ghat_n)
-        p_n = jnp.dot(x, w_ref[n], preferred_element_type=jnp.float32,
-                      precision=prec)
-        outs.append(jnp.dot((sel * ghat_n).astype(p_n.dtype), p_n,
-                            preferred_element_type=jnp.float32,
-                            precision=prec))
-    return jnp.concatenate(outs, axis=-1), ghats
-
-
-def _conv_bwd_one(g, sel, ghat, denom, rho, theta, gp_ref, x, w_ref,
-                  n_kernels, d, use_alpha, prec):
-    """Per-image backward of projection+aggregation (mirror of
-    edge_aggregate._kernel_bwd's math, with the projection folded in).
-
-    Returns (dx, dw_parts, dadj, drho, dtheta, dgp) where dw_parts is a
-    list of (F, d) f32 per-kernel weight-grad contributions for THIS
-    image, dx (K, F) f32.
-    """
-    ind = (denom > 1e-20).astype(jnp.float32)
-    dsel = jnp.zeros_like(sel)
-    s_cross = jnp.zeros_like(sel)
-    dgws, dw_parts = [], []
-    dx = None
-    for n in range(n_kernels):
-        g_n = g[:, n * d:(n + 1) * d]
-        ghat_n = ghat[n]
-        p_n = jnp.dot(x, w_ref[n], preferred_element_type=jnp.float32,
-                      precision=prec)                 # recomputed proj
-        e_n = (sel * ghat_n)
-        dproj_n = jnp.dot(e_n.T, g_n,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)             # (K, d)
-        g_edge = jnp.dot(g_n, p_n.T,
-                         preferred_element_type=jnp.float32,
-                         precision=prec)              # (K, K)
-        dsel = dsel + g_edge * ghat_n
-        dgw_n = g_edge * sel
-        dgws.append(dgw_n)
-        s_cross = s_cross + dgw_n * ghat_n
-        dw_parts.append(jnp.dot(
-            x.T.astype(jnp.float32), dproj_n,
-            preferred_element_type=jnp.float32, precision=prec))
-        dx_n = jnp.dot(dproj_n.astype(w_ref.dtype), w_ref[n].T,
-                       preferred_element_type=jnp.float32,
-                       precision=prec)                # (K, F)
-        dx = dx_n if dx is None else dx + dx_n
-
-    drho = jnp.zeros_like(sel)
-    dth = jnp.zeros_like(sel)
-    dmu_r, dmu_t, dpr, dpt = [], [], [], []
-    two_pi = jnp.float32(_TWO_PI)
-    for n in range(n_kernels):
-        mu_r = gp_ref[0, n]
-        mu_t = gp_ref[1, n]
-        pr = gp_ref[2, n]
-        pt = gp_ref[3, n]
-        inv_r = 1.0 / (1e-14 + pr * pr)
-        inv_t = 1.0 / (1e-14 + pt * pt)
-        dw_n = (dgws[n] - ind * s_cross) / denom
-        w_n = ghat[n] * denom
-        dwn_wn = dw_n * w_n
-
-        x_r = rho - mu_r
-        drho = drho + dwn_wn * (-x_r * inv_r)
-        dmu_r.append(jnp.sum(dwn_wn * x_r * inv_r))
-        dpr.append(jnp.sum(dwn_wn * (x_r * x_r) * pr * inv_r * inv_r))
-
-        first = jnp.abs(theta - mu_t)
-        second = jnp.abs(two_pi - first)
-        dist = jnp.minimum(first, second)
-        dd_dfirst = jnp.where(first <= second, 1.0,
-                              -jnp.sign(two_pi - first))
-        sgn = jnp.sign(theta - mu_t)
-        common_t = dwn_wn * (-dist * inv_t) * dd_dfirst * sgn
-        dth = dth + common_t
-        dmu_t.append(jnp.sum(-common_t))
-        dpt.append(jnp.sum(dwn_wn * (dist * dist) * pt
-                           * inv_t * inv_t))
-
-    if use_alpha:
-        row = jnp.sum(dsel * sel, axis=-1, keepdims=True)
-        dadj = sel * (dsel - row)
-    else:
-        dadj = jnp.zeros_like(sel)
-    dgp = jnp.stack([jnp.stack(dmu_r), jnp.stack(dmu_t),
-                     jnp.stack(dpr), jnp.stack(dpt)])
-    return dx, dw_parts, dadj, drho, dth, dgp
-
-
 def _block_fwd_kernel(adj_ref, pseudo_ref, feats_ref, w1_ref, w2_ref,
                       gp1_ref, gp2_ref, *refs,
                       m: int, n_kernels: int, d1: int, d2: int, bt: int,

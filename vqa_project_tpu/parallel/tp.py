@@ -50,8 +50,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh_2d(tp: int, num_devices: Optional[int] = None,
-                 data_axis: str = "data",
-                 model_axis: str = "model") -> Mesh:
+                 data_axis: str = "data") -> Mesh:
     """(data, model) mesh: tp-way model parallelism, rest data-parallel.
 
     The model axis is innermost so TP collectives ride neighbouring ICI
@@ -63,7 +62,9 @@ def make_mesh_2d(tp: int, num_devices: Optional[int] = None,
     if len(devs) % tp:
         raise ValueError(f"{len(devs)} devices not divisible by tp={tp}")
     grid = np.asarray(devs).reshape(len(devs) // tp, tp)
-    return Mesh(grid, (data_axis, model_axis))
+    # the model axis is always named "model": the _RULES specs hardcode
+    # it, so a configurable name would just be a latent KeyError
+    return Mesh(grid, (data_axis, "model"))
 
 
 # (path-suffix, partition spec builder) — first match wins. Specs are

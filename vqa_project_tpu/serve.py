@@ -80,6 +80,13 @@ class InferenceServer:
 
         self._forward = jax.jit(forward)
         self._shapes = (t, k, fdim)
+        # warm the executable before accepting work: the first real
+        # request must not pay the XLA compile inside its latency
+        import jax.numpy as _jnp
+
+        self._forward(params, _jnp.zeros((self.batch_size, t), _jnp.int32),
+                      _jnp.zeros((self.batch_size, k, fdim), _jnp.float32),
+                      _jnp.ones((self.batch_size,), _jnp.int32))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -193,7 +200,8 @@ class InferenceServer:
 
 def make_http_server(server: InferenceServer, port: int = 0,
                      host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    """POST /predict {"question": ..., "image_id"|"features"[, "boxes"]}
+    """POST /predict {"question": ..., "image_id"} or
+    {"question": ..., "features", "boxes"}
     -> {"answer", "top_k", "batch_size"}; GET /healthz -> stats.
     Returns the (not yet serving) ThreadingHTTPServer; call
     serve_forever() or poll it from a thread. port=0 picks a free port
@@ -230,9 +238,13 @@ def make_http_server(server: InferenceServer, port: int = 0,
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 kw = {}
                 if "features" in payload:
+                    if "boxes" not in payload:
+                        raise ValueError(
+                            "\"features\" requires \"boxes\" "
+                            "(K x 4 normalized xyxy)")
                     kw["features"] = np.asarray(payload["features"],
                                                 np.float32)
-                    kw["boxes"] = np.asarray(payload.get("boxes"),
+                    kw["boxes"] = np.asarray(payload["boxes"],
                                              np.float32)
                 else:
                     kw["image_id"] = payload.get("image_id")
@@ -240,5 +252,7 @@ def make_http_server(server: InferenceServer, port: int = 0,
                 self._json(200, out)
             except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": str(e)})
+            except Exception as e:  # forward/runtime failure -> 500
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
