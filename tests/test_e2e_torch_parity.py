@@ -59,26 +59,60 @@ def _conv(sd, conv, neigh_feats, gw):
     return torch.cat(outs, dim=-1)
 
 
-def torch_oracle_forward(sd, question, image, qlen, m):
-    """Eval-mode forward; returns (logits, adjacency) as numpy."""
-    with torch.no_grad():
+def _manual_gru(sd, emb, lens):
+    """Differentiable GRU: torch gate math by hand (a stock nn.GRU fed
+    via .data assignment severs autograd to the sd tensors), hidden
+    taken at each sequence's last valid step like pack_padded."""
+    wi, wh = sd["q_gru.weight_ih_l0"], sd["q_gru.weight_hh_l0"]
+    bi, bh = sd["q_gru.bias_ih_l0"], sd["q_gru.bias_hh_l0"]
+    b, t, _ = emb.shape
+    h = wh.shape[1]
+    hid = torch.zeros(b, h, dtype=emb.dtype)
+    for step in range(t):
+        gi = emb[:, step] @ wi.T + bi
+        gh = hid @ wh.T + bh
+        i_r, i_z, i_n = gi.chunk(3, -1)
+        h_r, h_z, h_n = gh.chunk(3, -1)
+        r = torch.sigmoid(i_r + h_r)
+        z = torch.sigmoid(i_z + h_z)
+        n = torch.tanh(i_n + r * h_n)
+        new = (1 - z) * n + z * hid
+        live = (lens > step).unsqueeze(-1).to(emb.dtype)
+        hid = live * new + (1 - live) * hid
+    return hid
+
+
+def torch_oracle_forward(sd, question, image, qlen, m,
+                         differentiable=False):
+    """Eval-mode forward; returns (logits, adjacency) as numpy, or as
+    live tensors differentiable w.r.t. the sd values when
+    differentiable=True (used by the Adam-resume parity test)."""
+    import contextlib
+
+    ctx = (contextlib.nullcontext() if differentiable
+           else torch.no_grad())
+    with ctx:
         q = torch.from_numpy(np.array(question)).long()
         img = torch.from_numpy(np.array(image)).float()
         lens = torch.from_numpy(np.array(qlen)).long()
         b, k, _ = img.shape
 
-        # question encoding (packed GRU through a stock module)
+        # question encoding (packed GRU through a stock module, or the
+        # hand-written differentiable equivalent)
         emb = F.embedding(q, sd["wembed.weight"])
         h = sd["q_gru.weight_hh_l0"].shape[1]
-        gru = torch.nn.GRU(input_size=emb.shape[-1], hidden_size=h)
-        gru.weight_ih_l0.data = sd["q_gru.weight_ih_l0"]
-        gru.weight_hh_l0.data = sd["q_gru.weight_hh_l0"]
-        gru.bias_ih_l0.data = sd["q_gru.bias_ih_l0"]
-        gru.bias_hh_l0.data = sd["q_gru.bias_hh_l0"]
-        packed = torch.nn.utils.rnn.pack_padded_sequence(
-            emb, lens, batch_first=True, enforce_sorted=False)
-        _, hid = gru(packed)
-        qenc = hid[0]                                     # (B, H)
+        if differentiable:
+            qenc = _manual_gru(sd, emb, lens)
+        else:
+            gru = torch.nn.GRU(input_size=emb.shape[-1], hidden_size=h)
+            gru.weight_ih_l0.data = sd["q_gru.weight_ih_l0"]
+            gru.weight_hh_l0.data = sd["q_gru.weight_hh_l0"]
+            gru.bias_ih_l0.data = sd["q_gru.bias_ih_l0"]
+            gru.bias_hh_l0.data = sd["q_gru.bias_hh_l0"]
+            packed = torch.nn.utils.rnn.pack_padded_sequence(
+                emb, lens, batch_first=True, enforce_sorted=False)
+            _, hid = gru(packed)
+            qenc = hid[0]                                 # (B, H)
 
         # polar pseudo-coordinates from bbox centres
         bb = img[..., -4:]
@@ -118,6 +152,8 @@ def torch_oracle_forward(sd, question, image, qlen, m):
         fused = F.relu(qenc) * pooled
         h1 = F.relu(_wn_linear(sd, "out_1", fused))
         logits = _wn_linear(sd, "out_2", h1)
+        if differentiable:
+            return logits, adjacency
         return logits.numpy(), adjacency.numpy()
 
 

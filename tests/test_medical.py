@@ -85,3 +85,52 @@ def test_grid_search_harness(clef_dir, tmp_path, monkeypatch):
     assert body[0] == "image_id,question,prediction,answer"
     assert len(body) == 1 + 32  # all val questions
     assert body[1].count(",") == 3
+
+
+def test_train_flag_str2bool():
+    """`--train False` must parse as False. The reference's type=bool
+    (run_imageclef.py:249) makes any non-empty string truthy; PARITY.md
+    records this as a fixed divergence."""
+    import pytest
+
+    from vqa_project_tpu.cli.medical import medical_input_args
+
+    assert medical_input_args([])[0].train is True
+    assert medical_input_args(["--train"])[0].train is True
+    for s in ("False", "false", "0", "no"):
+        assert medical_input_args(["--train", s])[0].train is False
+    for s in ("True", "true", "1", "yes"):
+        assert medical_input_args(["--train", s])[0].train is True
+    with pytest.raises(SystemExit):
+        medical_input_args(["--train", "maybe"])
+
+
+def test_grid_search_single_cache_push(clef_dir, tmp_path, monkeypatch):
+    """A multi-cell grid search pushes the feature table to devices
+    exactly ONCE (VERDICT round 2 item 7): the grid driver prebuilds
+    (mesh, cache) and fit/evaluate accept them instead of rebuilding."""
+    from vqa_project_tpu.train import loop as loop_mod
+
+    calls = {"n": 0}
+    real = loop_mod.make_feature_cache
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "make_feature_cache", counting)
+    monkeypatch.chdir(tmp_path)
+    args, parser, unparsed = medical_input_args([
+        "--synthetic", "--data_dir", clef_dir,
+        "--save_dir", str(tmp_path / "save"),
+        "--plot_dir", str(tmp_path / "figures"),
+        "--ep", "1", "--bsize", "8", "--hid", "24", "--emb", "16",
+        "--n_obj", str(N_OBJ), "--compute_dtype", "float32",
+        "--neighbors_list", "4", "3", "--kernels_list", "3",
+    ])
+    args.synthetic = False
+    grid_search_main(args, parser, unparsed, dataset_name="imageclef",
+                     ckpt_prefix="clef")
+    # imageclef shares one store for train/val -> exactly one build
+    # across 2 grid cells x (fit + evaluate)
+    assert calls["n"] == 1

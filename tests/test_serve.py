@@ -144,3 +144,27 @@ def test_http_roundtrip(served):
         assert conn.getresponse().status == 404
     finally:
         httpd.shutdown()
+
+
+def test_worker_survives_batch_failure(served):
+    """A failure anywhere in batch serving (not just the forward) fails
+    THAT batch's futures and leaves the worker alive for later requests
+    (ADVICE round 2: a dead worker used to hang every future caller)."""
+    srv, _, _, ds = served
+    iid = next(iter(ds.store.id_to_row))
+
+    class Boom:
+        def get(self, *a, **k):
+            raise RuntimeError("answer table exploded")
+
+    real = srv.ds.a_itow
+    srv.ds.a_itow = Boom()  # fails inside result assembly, post-forward
+    try:
+        with pytest.raises(RuntimeError, match="exploded"):
+            srv.predict("what color", image_id=iid, timeout=30)
+    finally:
+        srv.ds.a_itow = real
+    # the worker thread must still be alive and serving
+    assert srv._worker.is_alive()
+    out = srv.predict("what color", image_id=iid, timeout=30)
+    assert out["answer"] in ds.a_itow.values()

@@ -192,3 +192,141 @@ def test_validate_parity_cli(tmp_path, monkeypatch):
           "--combined_dim", str(cfg.combined_dim)])
     result = _json.load(open(tmp_path / "result.json"))
     assert len(result) == 12  # generator puts 75% of questions in train
+
+
+def test_adam_state_import_one_step_parity(rng, tmp_path):
+    """VERDICT r2 item 5 'done' criterion: resuming --train FROM a
+    reference full-dict checkpoint restores the Adam moments — one
+    post-resume jax step lands on the same parameters as the
+    torch-resumed step on the same batch, and measurably differs from a
+    fresh-optimizer step."""
+    import optax
+    import torch.nn.functional as F
+
+    from tests.test_e2e_torch_parity import torch_oracle_forward
+    from tests.test_model import CFG, make_batch
+    from vqa_project_tpu.models.torch_import import load_torch_checkpoint
+    from vqa_project_tpu.ops import multilabel_soft_margin_loss
+
+    lr = 1e-3
+    sd = {k: v.clone().requires_grad_(True)
+          for k, v in _make_torch_state_dict(CFG).items()}
+    opt = torch.optim.Adam(sd.values(), lr=lr)
+
+    q, image, qlen = make_batch(rng, b=4)
+    targets = rng.uniform(size=(4, CFG.out_dim)).astype(np.float32)
+    t_targets = torch.from_numpy(targets)
+
+    def torch_step():
+        opt.zero_grad()
+        logits, _ = torch_oracle_forward(
+            sd, q, image, qlen, CFG.neighbourhood_size,
+            differentiable=True)
+        F.multilabel_soft_margin_loss(logits, t_targets).backward()
+        opt.step()
+
+    for _ in range(3):  # non-trivial moments before the checkpoint
+        torch_step()
+
+    ckpt = str(tmp_path / "full.pt")
+    torch.save({"epoch": 2,
+                "state_dict": {k: v.detach().clone()
+                               for k, v in sd.items()},
+                "optimizer": opt.state_dict()}, ckpt)
+
+    # torch side: ONE more step = the reference's post-resume parameters
+    torch_step()
+    ref_params = import_torch_state_dict(
+        {k: v.detach().clone() for k, v in sd.items()})
+
+    # jax side: import ckpt (params + Adam state), take one step
+    tx = optax.adam(lr)
+    params = load_torch_checkpoint(ckpt)
+    params2, opt_state, epoch = load_torch_checkpoint(
+        ckpt, tx.init(params))
+    assert epoch == 2 and opt_state is not None
+    assert int(opt_state[0].count) == 3
+
+    model = GraphVQAModel(cfg=CFG)
+
+    def loss_fn(p):
+        logits, _, _ = model.apply(p, q, image, qlen)
+        return multilabel_soft_margin_loss(logits, jnp.asarray(targets))
+
+    grads = jax.grad(loss_fn)(params2)
+
+    def step_with(state0):
+        updates, _ = tx.update(grads, state0, params2)
+        return optax.apply_updates(params2, updates)
+
+    got = step_with(opt_state)
+    fresh = step_with(tx.init(params))
+
+    flat_ref = {jax.tree_util.keystr(p): v for p, v
+                in jax.tree_util.tree_leaves_with_path(ref_params)}
+    worst_imported, worst_fresh = 0.0, 0.0
+    for p, v in jax.tree_util.tree_leaves_with_path(got):
+        key = jax.tree_util.keystr(p)
+        r = flat_ref[key]
+        np.testing.assert_allclose(np.asarray(v), r, rtol=2e-3,
+                                   atol=5e-5, err_msg=key)
+        worst_imported = max(worst_imported,
+                             float(np.abs(np.asarray(v) - r).max()))
+    for p, v in jax.tree_util.tree_leaves_with_path(fresh):
+        r = flat_ref[jax.tree_util.keystr(p)]
+        worst_fresh = max(worst_fresh,
+                          float(np.abs(np.asarray(v) - r).max()))
+    # the moments matter: a fresh optimizer lands visibly elsewhere
+    assert worst_fresh > 10 * worst_imported, (worst_fresh, worst_imported)
+
+
+def test_fit_resume_accepts_torch_full_dict(rng, tmp_path):
+    """fit()'s resume path sniffs torch .pt files and restores params +
+    Adam moments + epoch/step (native msgpack checkpoints keep working
+    through the same helper)."""
+    import optax
+    import torch.nn.functional as F
+
+    from tests.test_e2e_torch_parity import torch_oracle_forward
+    from tests.test_model import CFG, make_batch
+    from vqa_project_tpu.train.loop import _is_torch_file, _resume_checkpoint
+    from vqa_project_tpu.train.state import TrainState, save_checkpoint
+
+    sd = {k: v.clone().requires_grad_(True)
+          for k, v in _make_torch_state_dict(CFG).items()}
+    opt = torch.optim.Adam(sd.values(), lr=1e-3)
+    q, image, qlen = make_batch(rng, b=2)
+    logits, _ = torch_oracle_forward(sd, q, image, qlen,
+                                     CFG.neighbourhood_size,
+                                     differentiable=True)
+    F.multilabel_soft_margin_loss(
+        logits, torch.rand(2, CFG.out_dim)).backward()
+    opt.step()
+
+    ckpt = str(tmp_path / "ref_full.pt")
+    torch.save({"epoch": 5,
+                "state_dict": {k: v.detach().clone()
+                               for k, v in sd.items()},
+                "optimizer": opt.state_dict()}, ckpt)
+
+    model = GraphVQAModel(cfg=CFG)
+    params = model.init(jax.random.key(0), q, image, qlen)
+    tx = optax.adam(1e-3)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.key(1))
+
+    assert _is_torch_file(ckpt)
+    epoch, new_state = _resume_checkpoint(ckpt, state)
+    assert epoch == 5
+    assert int(new_state.opt_state[0].count) == 1
+    assert int(new_state.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["params"]["wembed"]),
+        sd["wembed.weight"].detach().numpy(), rtol=1e-6)
+    # the native msgpack lineage flows through the same helper
+    native = str(tmp_path / "native.ckpt")
+    save_checkpoint(native, new_state, epoch=9)
+    assert not _is_torch_file(native)
+    epoch2, state2 = _resume_checkpoint(native, state)
+    assert epoch2 == 9 and int(state2.opt_state[0].count) == 1

@@ -121,3 +121,30 @@ def test_tp_indivisible_dims_replicate(tmp_path):
                        log_interval=1000, num_devices=4, tp=2)
     model, state, acc = fit(tcfg, MCFG, ds)
     assert np.isfinite(acc)
+
+
+def test_vgb_rules_scoped_to_weight_norm_owners():
+    """The single-letter v/g/b suffix rules fire only under the known
+    weight-norm modules (edge_layer_*, out_*); a future parameter that
+    merely ENDS in one of those names replicates instead of silently
+    column-sharding (ADVICE round 2)."""
+    from vqa_project_tpu.parallel.tp import param_spec
+
+    mesh = make_mesh_2d(2)
+    tree = {"params": {
+        "mystery_module": {"v": np.zeros((8, 8)), "g": np.zeros((8,)),
+                           "b": np.zeros((8,))},
+        "out_1": {"v": np.zeros((8, 8)), "g": np.zeros((8,)),
+                  "b": np.zeros((8,))},
+        "edge_layer_2": {"v": np.zeros((8, 8))},
+    }}
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    specs = {tuple(str(k.key) for k in path): param_spec(path, leaf, mesh)
+             for path, leaf in flat}
+    assert specs[("params", "mystery_module", "v")] == P()
+    assert specs[("params", "mystery_module", "g")] == P()
+    assert specs[("params", "mystery_module", "b")] == P()
+    assert specs[("params", "out_1", "v")] == P(None, "model")
+    assert specs[("params", "out_1", "g")] == P("model")
+    assert specs[("params", "out_1", "b")] == P("model")
+    assert specs[("params", "edge_layer_2", "v")] == P(None, "model")

@@ -26,13 +26,29 @@ from vqa_project_tpu.config import ModelConfig, TrainConfig
 from vqa_project_tpu.data import GraphVQADataset
 
 
+def _str2bool(s: str) -> bool:
+    if isinstance(s, bool):
+        return s
+    v = s.strip().lower()
+    if v in ("true", "t", "yes", "y", "1"):
+        return True
+    if v in ("false", "f", "no", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def medical_input_args(argv=None, *, n_obj_default=51,
                        neigh_default=19):
     """Flag surface of run_imageclef.py:245-285 (== run_mimic's)."""
     parser = argparse.ArgumentParser(
         description="Conditional Graph Convolutions for VQA "
                     "(medical, TPU-native)")
-    parser.add_argument("--train", default=True, type=bool,
+    # the reference uses type=bool here (run_imageclef.py:249), so
+    # `--train False` silently parses as True (bool("False") is True).
+    # Divergence (documented in PARITY.md): same flag name and default,
+    # but an explicit str2bool so False/0/no actually mean False.
+    parser.add_argument("--train", default=True, type=_str2bool,
+                        nargs="?", const=True,
                         help="set this to training mode.")
     parser.add_argument("--n_kernels", type=int, default=8)
     parser.add_argument("--lr", metavar="", type=float, default=1e-3)
@@ -63,13 +79,18 @@ def medical_input_args(argv=None, *, n_obj_default=51,
     return args, parser, unparsed
 
 
-def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
-                     ) -> Tuple[List[str], float]:
+def train_one_config(args, train_ds, val_ds, ckpt_prefix: str,
+                     shared=None) -> Tuple[List[str], float]:
     """Full training + sequential val inference for one grid cell
-    (run_imageclef.py:39-212). Returns (csv_rows, val_acc%)."""
-    from vqa_project_tpu.train.loop import evaluate, fit
+    (run_imageclef.py:39-212). Returns (csv_rows, val_acc%).
+
+    shared: optional (mesh, train_cache, val_cache) built ONCE by the
+    grid driver — a 24-cell grid would otherwise re-push the feature
+    table to devices ~48 times (VERDICT round 2 item 7)."""
+    from vqa_project_tpu.train.loop import _UNSET, evaluate, fit
     from vqa_project_tpu.train.state import save_checkpoint
 
+    mesh, cache, val_cache = shared if shared else (None, _UNSET, _UNSET)
     mcfg = ModelConfig(
         emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
         neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
@@ -79,12 +100,14 @@ def train_one_config(args, train_ds, val_ds, ckpt_prefix: str
         eval_interval=0, seed=args.seed, save_dir=args.save_dir,
         num_devices=args.num_devices, log_interval=40)
 
-    model, state, _train_acc = fit(tcfg, mcfg, train_ds)
+    model, state, _train_acc = fit(tcfg, mcfg, train_ds, mesh=mesh,
+                                   cache=cache, val_cache=val_cache)
 
     print("Infer")
     acc, result, _ = evaluate(model, state.params, val_ds, args.bsize,
                            result_path=None,
-                           num_devices=args.num_devices)
+                           num_devices=args.num_devices,
+                           mesh=mesh, cache=val_cache)
     # predictions CSV rows: image_id,question,prediction,answer
     # (run_imageclef.py:193-199). Map question_id -> dataset row
     # explicitly: real MIMIC question_ids are global CSV row indices
@@ -120,6 +143,19 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
 
     train_ds, val_ds = _load_datasets(args, dataset_name)
 
+    # one mesh + one feature-table push for the WHOLE grid: every cell
+    # trains at the same n_obj/dtype, so the cache is config-invariant
+    from vqa_project_tpu.train.loop import (_make_fit_mesh, _same_store,
+                                            make_feature_cache)
+    tcfg0 = TrainConfig(batch_size=args.bsize,
+                        num_devices=args.num_devices)
+    mesh = _make_fit_mesh(tcfg0)
+    cache = make_feature_cache(train_ds, mesh, tcfg0, args.compute_dtype)
+    val_cache = (cache if _same_store(val_ds.store, train_ds.store)
+                 else make_feature_cache(val_ds, mesh, tcfg0,
+                                         args.compute_dtype))
+    shared = (mesh, cache, val_cache)
+
     best_acc = 0.0
     os.makedirs(args.plot_dir, exist_ok=True)
     grid_path = f"grid_search_nodes_{args.n_obj}.txt"
@@ -132,7 +168,7 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                 args.neighbourhood_size = neighbors
                 print(args)
                 rows, acc = train_one_config(args, train_ds, val_ds,
-                                             ckpt_prefix)
+                                             ckpt_prefix, shared=shared)
                 line = (f"neighbors: {neighbors}, kernels: {kernels}, "
                         f"Validation acc: {acc:.3f} %\n")
                 print(line, end="")

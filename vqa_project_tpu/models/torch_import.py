@@ -91,9 +91,92 @@ def import_torch_state_dict(state_dict: Dict) -> Dict:
     return {"params": params}
 
 
-def load_torch_checkpoint(path: str) -> Dict:
-    """torch.load a reference .pt file and convert (torch required)."""
+def import_torch_optimizer(ckpt: Dict, opt_state_template):
+    """Splice a torch Adam state_dict into an optax.adam state.
+
+    ckpt is the reference's full-dict checkpoint (run.py:176-181):
+    {'epoch', 'state_dict', 'optimizer', ...}. torch keys its Adam state
+    by PARAMETER INDEX in model.parameters() order; for this model
+    (no buffers anywhere) that order equals the state_dict key order,
+    so index i maps to the i-th state_dict name. Each exp_avg /
+    exp_avg_sq tensor mirrors its parameter's shape and therefore needs
+    the SAME transposes/reshapes as the parameter import — we reuse
+    import_torch_state_dict on synthetic name->moment dicts.
+
+    Returns a new opt_state with count/mu/nu (ScaleByAdamState) and the
+    LR-schedule count replaced; raises KeyError/ValueError when the
+    checkpoint has no usable optimizer state.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    sd = ckpt["state_dict"]
+    opt_sd = ckpt.get("optimizer") or {}
+    state = opt_sd.get("state") or {}
+    if not state:
+        raise ValueError("checkpoint carries no optimizer state")
+
+    order = list(sd.keys())
+    first = next(iter(state.values()))
+    if "exp_avg" not in first:
+        raise ValueError("optimizer state is not Adam-shaped "
+                         f"(fields: {sorted(first)})")
+    mu_sd = {order[int(i)]: s["exp_avg"] for i, s in state.items()}
+    nu_sd = {order[int(i)]: s["exp_avg_sq"] for i, s in state.items()}
+    mu = import_torch_state_dict(mu_sd)
+    nu = import_torch_state_dict(nu_sd)
+    # torch keeps a per-param step (a 0-d tensor in newer versions);
+    # they advance in lockstep under the reference loop, optax keeps one
+    counts = {int(_np(s["step"]).reshape(())) for s in state.values()}
+    if len(counts) > 1:
+        raise ValueError(f"per-param Adam steps disagree: {sorted(counts)}")
+    count = counts.pop()
+
+    def fix_tree(moments, template):
+        # match leaf dtypes/types of the template (plain np -> jnp)
+        return jax.tree.map(
+            lambda m, t: jnp.asarray(m, dtype=t.dtype), moments, template)
+
+    new_state = []
+    spliced = 0
+    for s in opt_state_template:
+        if isinstance(s, optax.ScaleByAdamState):
+            s = s._replace(
+                count=jnp.asarray(count, s.count.dtype),
+                mu=fix_tree(mu, s.mu), nu=fix_tree(nu, s.nu))
+            spliced += 1
+        elif isinstance(s, optax.ScaleByScheduleState):
+            # the MultiStepLR-equivalent schedule indexes by step count
+            s = s._replace(count=jnp.asarray(count, s.count.dtype))
+        new_state.append(s)
+    if spliced != 1:
+        raise ValueError(
+            f"expected exactly one ScaleByAdamState, found {spliced}")
+    return tuple(new_state)
+
+
+def load_torch_checkpoint(path: str, opt_state_template=None):
+    """torch.load a reference .pt file and convert (torch required).
+
+    Returns the params tree; with opt_state_template (an optax.adam
+    state from make_optimizer(...).init) ALSO returns
+    (params, opt_state_or_None, epoch) so `--train --model_path ref.pt`
+    resumes optimizer-identically to the reference's
+    optimizer.load_state_dict (run.py:176-181).
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return import_torch_state_dict(sd)
+    params = import_torch_state_dict(sd)
+    if opt_state_template is None:
+        return params
+    opt_state, epoch = None, 0
+    if isinstance(sd, dict) and "state_dict" in sd:
+        epoch = int(sd.get("epoch", 0))
+        try:
+            opt_state = import_torch_optimizer(sd, opt_state_template)
+        except (KeyError, ValueError) as e:
+            print(f"torch checkpoint: optimizer state not imported ({e}); "
+                  "optimizer restarts fresh", flush=True)
+    return params, opt_state, epoch

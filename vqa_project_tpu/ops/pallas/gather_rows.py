@@ -134,8 +134,8 @@ def gather_rows_dma(packed: jax.Array, rows: jax.Array, *,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_RING,))],
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, l), packed.dtype),

@@ -349,6 +349,14 @@ def _block_forward(adj, pseudo, feats, w1, gp1, w2, gp2, seeds, *, m,
     b, k, f1 = feats.shape
     n_kernels, _, d1 = w1.shape
     d2 = w2.shape[-1]
+    # proj_scr is sized (bt, K, n*d1) and REUSED for the conv2
+    # projections via proj_scr[:, :, :n*d2] — valid only when d2 <= d1
+    # (true for the model family: d1 = 2*hid/n, d2 = hid/n). Fail loudly
+    # rather than clamp-write wrong results (ADVICE round 2).
+    if d2 > d1:
+        raise ValueError(
+            f"fused_graph_block requires d2 <= d1 (scratch reuse); got "
+            f"d1={d1}, d2={d2}")
     bt = _pick_bt(b)
     pseudo_cm = jnp.moveaxis(pseudo, -1, 1)
     cdt = feats.dtype

@@ -86,6 +86,14 @@ _RULES: Tuple[Tuple[Tuple[str, ...], P], ...] = (
     (("b",), P("model")),
 )
 
+# The single-letter v/g/b leaves exist only inside WeightNormDense
+# modules (models/graph_vqa.py: edge_layer_* under the GraphLearner,
+# out_1/out_2 classifier heads). Requiring that owner prefix stops the
+# suffix rules from silently column-sharding any FUTURE parameter that
+# happens to end in one of those names (ADVICE round 2).
+_WEIGHT_NORM_OWNERS = ("edge_layer_", "out_")
+_OWNER_SCOPED = frozenset({("v",), ("g",), ("b",)})
+
 
 def _path_names(path) -> Tuple[str, ...]:
     names = []
@@ -113,6 +121,10 @@ def param_spec(path, leaf, mesh: Mesh) -> P:
     shape = np.shape(leaf)
     for suffix, spec in _RULES:
         if names[-len(suffix):] == suffix:
+            if suffix in _OWNER_SCOPED and not (
+                    len(names) >= 2 and
+                    names[-2].startswith(_WEIGHT_NORM_OWNERS)):
+                break  # v/g/b outside a weight-norm module -> replicate
             dims = tuple(spec)
             if len(shape) < len(dims):
                 break  # rank mismatch (defensive) -> replicate

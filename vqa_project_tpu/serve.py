@@ -124,9 +124,11 @@ class InferenceServer:
         self._queue.put(req)
         return req.future
 
-    def predict(self, question: str, **kw) -> Dict[str, Any]:
-        """Blocking submit()."""
-        return self.submit(question, **kw).result()
+    def predict(self, question: str, timeout: Optional[float] = 60.0,
+                **kw) -> Dict[str, Any]:
+        """Blocking submit(). timeout bounds the wait so a wedged worker
+        surfaces as concurrent.futures.TimeoutError instead of a hang."""
+        return self.submit(question, **kw).result(timeout)
 
     def close(self):
         self._stop.set()
@@ -157,42 +159,49 @@ class InferenceServer:
         return batch
 
     def _run(self):
-        import jax.numpy as jnp
-
-        t, k, fdim = self._shapes
-        b = self.batch_size
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
                 continue
-            n = len(batch)
-            q = np.zeros((b, t), np.int32)
-            qlen = np.ones((b,), np.int32)
-            image = np.zeros((b, k, fdim), np.float32)
-            for i, r in enumerate(batch):
-                q[i] = r.tokens
-                qlen[i] = r.qlen
-                image[i, :, :fdim - 4] = r.features
-                image[i, :, fdim - 4:] = r.boxes
             try:
-                vals, idxs = self._forward(
-                    self._params, jnp.asarray(q), jnp.asarray(image),
-                    jnp.asarray(qlen))
-                vals = np.asarray(vals)
-                idxs = np.asarray(idxs)
-            except Exception as e:  # propagate to every caller
+                self._serve_batch(batch)
+            except Exception as e:
+                # batch assembly / bookkeeping failure: fail THIS batch's
+                # futures and keep the worker alive — otherwise every
+                # pending and future predict() blocks forever on a dead
+                # thread (ADVICE round 2)
                 for r in batch:
-                    r.future.set_exception(e)
-                continue
-            self.batches_served += 1
-            self.requests_served += n
-            for i, r in enumerate(batch):
-                top = [{"answer": self.ds.a_itow.get(int(j), "<unk>"),
-                        "prob": float(v)}
-                       for j, v in zip(idxs[i], vals[i])]
-                r.future.set_result(
-                    {"answer": top[0]["answer"], "top_k": top,
-                     "batch_size": n})
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _serve_batch(self, batch: List[_Request]):
+        import jax.numpy as jnp
+
+        t, k, fdim = self._shapes
+        b = self.batch_size
+        n = len(batch)
+        q = np.zeros((b, t), np.int32)
+        qlen = np.ones((b,), np.int32)
+        image = np.zeros((b, k, fdim), np.float32)
+        for i, r in enumerate(batch):
+            q[i] = r.tokens
+            qlen[i] = r.qlen
+            image[i, :, :fdim - 4] = r.features
+            image[i, :, fdim - 4:] = r.boxes
+        vals, idxs = self._forward(
+            self._params, jnp.asarray(q), jnp.asarray(image),
+            jnp.asarray(qlen))
+        vals = np.asarray(vals)
+        idxs = np.asarray(idxs)
+        self.batches_served += 1
+        self.requests_served += n
+        for i, r in enumerate(batch):
+            top = [{"answer": self.ds.a_itow.get(int(j), "<unk>"),
+                    "prob": float(v)}
+                   for j, v in zip(idxs[i], vals[i])]
+            r.future.set_result(
+                {"answer": top[0]["answer"], "top_k": top,
+                 "batch_size": n})
 
 
 # ---------------- HTTP front-end ----------------

@@ -170,6 +170,10 @@ def _locality_kwargs(cache, ds: GraphVQADataset) -> dict:
     return {}
 
 
+# sentinel distinguishing "not passed" from "host mode" (cache=None)
+_UNSET = object()
+
+
 def fit(
     train_cfg: TrainConfig,
     model_cfg: ModelConfig,
@@ -179,9 +183,19 @@ def fit(
     resume_path: Optional[str] = None,
     save_every_epoch: bool = False,
     jsonl_path: Optional[str] = None,
+    mesh=None,
+    cache=_UNSET,
+    val_cache=_UNSET,
 ) -> Tuple[GraphVQAModel, TrainState, float]:
-    """Run the training loop; returns (model, state, final epoch acc %)."""
-    mesh = _make_fit_mesh(train_cfg)
+    """Run the training loop; returns (model, state, final epoch acc %).
+
+    mesh / cache / val_cache accept PREBUILT values so repeated fits
+    (the medical grid search trains a fresh model per cell) push the
+    feature table to devices once, not once per cell — at the real
+    4.8 GB table each push re-streams the whole table through the
+    host->device link (VERDICT round 2 item 7)."""
+    if mesh is None:
+        mesh = _make_fit_mesh(train_cfg)
     n_chips = mesh.shape[train_cfg.data_axis]  # batch shards over data only
     bs = train_cfg.batch_size
     if bs % n_chips:
@@ -189,8 +203,9 @@ def fit(
                          "data-parallel chips")
 
     model = build_model(model_cfg, train_ds)
-    cache = make_feature_cache(train_ds, mesh, train_cfg,
-                               model_cfg.compute_dtype)
+    if cache is _UNSET:
+        cache = make_feature_cache(train_ds, mesh, train_cfg,
+                                   model_cfg.compute_dtype)
     loader = Batcher(train_ds, bs, shuffle=True, seed=train_cfg.seed,
                      drop_last=True, materialize=cache is None,
                      **_locality_kwargs(cache, train_ds))
@@ -201,8 +216,7 @@ def fit(
     start_epoch = 0
     if resume_path and os.path.isfile(resume_path):
         print(f"Resuming from checkpoint {resume_path}")
-        payload, state = load_checkpoint(resume_path, state)
-        start_epoch = int(payload.get("epoch", 0))
+        start_epoch, state = _resume_checkpoint(resume_path, state)
     state = _place_state(state, mesh, train_cfg)
 
     train_step = build_train_step(model, tx, mesh, feature_cache=cache,
@@ -215,9 +229,11 @@ def fit(
         # the same store (VQA 'train'/'val' both read trainval.zarr; the
         # FeatureStore objects are distinct, so compare the backing
         # memmap files)
-        val_cache = (cache if _same_store(val_ds.store, train_ds.store)
-                     else make_feature_cache(val_ds, mesh, train_cfg,
-                                             model_cfg.compute_dtype))
+        if val_cache is _UNSET:
+            val_cache = (cache
+                         if _same_store(val_ds.store, train_ds.store)
+                         else make_feature_cache(val_ds, mesh, train_cfg,
+                                                 model_cfg.compute_dtype))
         eval_step = build_eval_step(model, mesh, feature_cache=val_cache,
                                     n_answers=val_ds.n_answers,
                                     pallas_gather=train_cfg.pallas_gather)
@@ -285,6 +301,49 @@ def fit(
     return model, state, epoch_acc
 
 
+def _is_torch_file(path: str) -> bool:
+    """Sniff torch.save output: zip archives start with PK, legacy
+    pickles with the 0x80 PROTO opcode + a small protocol byte. Our own
+    msgpack checkpoints start with a fixmap whose second byte is a key
+    string marker (>= 0xa0), so the two never collide in practice."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    return head[:2] == b"PK" or (len(head) == 2 and head[0] == 0x80
+                                 and head[1] < 0x08)
+
+
+def _resume_checkpoint(path: str, state: TrainState) -> Tuple[int,
+                                                              TrainState]:
+    """Resume from either checkpoint lineage: the native msgpack format,
+    or a reference torch .pt (both on-disk formats; full-dict
+    checkpoints additionally restore the Adam moments + step, matching
+    the reference's optimizer.load_state_dict at run.py:176-181)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _is_torch_file(path):
+        payload, new_state = load_checkpoint(path, state)
+        return int(payload.get("epoch", 0)), new_state
+
+    from vqa_project_tpu.models.torch_import import load_torch_checkpoint
+
+    params, opt_state, epoch = load_torch_checkpoint(path, state.opt_state)
+    # tree_map doubles as a structure check against the template
+    params = jax.tree.map(lambda t, p: jnp.asarray(p, t.dtype),
+                          state.params, params)
+    step = state.step
+    if opt_state is not None:
+        import optax
+
+        for s in opt_state:
+            if isinstance(s, optax.ScaleByAdamState):
+                step = jnp.asarray(s.count, jnp.int32)
+    return epoch, TrainState(
+        params=params,
+        opt_state=state.opt_state if opt_state is None else opt_state,
+        step=step, rng=state.rng)
+
+
 def _save_epoch_ckpt(cfg: TrainConfig, state: TrainState, ep: int):
     os.makedirs(cfg.save_dir, exist_ok=True)
     # epoch records the NEXT epoch to run, matching the reference's resume
@@ -327,6 +386,8 @@ def evaluate(
     data_axis: str = "data",
     collect_adjacency: bool = False,
     max_batches: Optional[int] = None,
+    mesh=None,
+    cache=_UNSET,
 ) -> Tuple[float, List[dict], Optional[Dict[int, np.ndarray]]]:
     """Sequential evaluation producing the EvalAI result list and the VQA
     accuracy (run.py:36-114 / 274-341).
@@ -337,12 +398,16 @@ def evaluate(
     a dict is the only order-safe container). max_batches stops after
     that many batches — the accuracy is then over the rows actually seen
     (visualization needs a handful of figures, not a full-split sweep).
+    mesh / cache accept prebuilt values (see fit) so callers that
+    evaluate repeatedly push the feature table once.
     """
-    mesh = make_mesh(num_devices, data_axis)
-    from vqa_project_tpu.config import TrainConfig as _TC
+    if mesh is None:
+        mesh = make_mesh(num_devices, data_axis)
+    if cache is _UNSET:
+        from vqa_project_tpu.config import TrainConfig as _TC
 
-    cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size),
-                               model.cfg.compute_dtype)
+        cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size),
+                                   model.cfg.compute_dtype)
     params = replicate(params, mesh)
     eval_step = build_eval_step(model, mesh, feature_cache=cache,
                                 n_answers=ds.n_answers,

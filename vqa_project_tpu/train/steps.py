@@ -63,7 +63,7 @@ def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
 
 
 def make_image_fn(feature_cache, pallas_gather=False, mesh=None,
-                  data_axis: str = "data"):
+                  data_axis: Optional[str] = None):
     """Normalize the cache argument into (image_fn, cache_arrays).
 
     feature_cache is either None (host mode), a (features, boxes) tuple
@@ -106,7 +106,11 @@ def make_image_fn(feature_cache, pallas_gather=False, mesh=None,
                 except ImportError:  # older jax
                     from jax.experimental.shard_map import shard_map
 
-                batch_spec = P(data_axis)
+                # batches always shard over the FIRST mesh axis (the
+                # data axis by construction in mesh.py / tp.py), so a
+                # non-default TrainConfig.data_axis resolves correctly
+                # without every builder threading the name through
+                batch_spec = P(data_axis or mesh.axis_names[0])
                 gather_local = shard_map(
                     gather_local, mesh=mesh,
                     in_specs=(P(), batch_spec),
