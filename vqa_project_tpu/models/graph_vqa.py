@@ -196,7 +196,7 @@ class GaussianGraphConv(nn.Module):
 
             from vqa_project_tpu.ops.graph_conv import matmul_precision
             from vqa_project_tpu.ops.pallas.edge_aggregate import \
-                fused_edge_aggregate_act
+                fused_sel_aggregate_act
 
             b, k = features.shape[:2]
             # proj flows to the kernel in the COMPUTE dtype: the
@@ -213,10 +213,14 @@ class GaussianGraphConv(nn.Module):
             gparams = jnp.stack([mean_rho, mean_theta,
                                  precision_rho, precision_theta])
             interpret = _jax.devices()[0].platform != "tpu"
-            out = fused_edge_aggregate_act(
-                adjacency.astype(jnp.float32), pseudo,
+            # selection (alpha or the 0/1 mask) is computed ONCE in XLA
+            # by the caller and shared by both convs; the kernel's
+            # backward emits d(sel) and XLA's autodiff carries the
+            # softmax VJP to the adjacency (round-3 hoist of the
+            # in-kernel O(K^3) rank selection)
+            out = fused_sel_aggregate_act(
+                selection.astype(jnp.float32), pseudo,
                 proj.reshape(b, k, -1), gparams, seeds,
-                self.neighbourhood_size, self.use_alpha,
                 fuse_relu, dropout_rate, interpret)
             return out
 
@@ -330,13 +334,12 @@ class GraphVQAModel(nn.Module):
             cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
         )(nodes)                                         # (B, K, K)
 
-        # --- shared neighbourhood selection (dense masked form); the
-        #     fused Pallas path recomputes it in-kernel instead ---
-        if use_pallas:
-            alpha = mask = None
-        else:
-            alpha, mask = masked_neighbourhood(
-                adjacency, cfg.neighbourhood_size)
+        # --- shared neighbourhood selection (dense masked form); both
+        #     paths compute it here ONCE — the fused Pallas kernels
+        #     consume the selected weights directly (the in-kernel
+        #     O(K^3) rank selection was hoisted out in round 3) ---
+        alpha, mask = masked_neighbourhood(
+            adjacency, cfg.neighbourhood_size)
 
         # --- graph convolution 1 (alpha-weighted neighbours); on the
         #     fused path the relu (+ inverted dropout on real TPU, via

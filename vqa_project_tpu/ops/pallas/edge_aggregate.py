@@ -12,15 +12,22 @@ broadcast never coexist); everything (rank computation, masked softmax,
 Gaussian weights, n_kernels KxK matmuls) happens in VMEM.
 
 Training runs TWO kernels per block: the forward saves tiny residuals
-(sel, normalized gaussian weights, clamped denominator — (2+n)·K² floats
-per image) and _kernel_bwd computes all four gradients from them with no
+(normalized gaussian weights, clamped denominator — (1+n)·K² floats
+per image) and _kernel_bwd computes all gradients from them with no
 forward recompute. The math matches jax.vjp(edge_aggregate_reference)
 term for term; edge_aggregate_reference() below IS the XLA path and
 serves as the correctness oracle for both directions.
 
-Top-m selection uses the rank formulation: edge (i, j) is selected iff
-fewer than m entries of row i are strictly greater — exactly equivalent
-to adj >= (m-th largest), including tie behaviour.
+Top-m selection happens OUTSIDE the kernel (ops/neighbourhood.py's
+masked_neighbourhood, shared with the XLA path): the kernel consumes
+the selected (B, K, K) edge weights (softmaxed alpha or the 0/1 mask)
+directly and its backward emits d(sel); XLA's autodiff then carries the
+softmax VJP back to the adjacency. Round 2 computed selection IN-kernel
+via a per-image (K, K, K) pairwise-rank broadcast — O(K³) VPU work per
+image, serialized inside the kernel's fori_loop, and it ran TWICE per
+step (once per conv) plus a duplicate softmax. Hoisting it costs one
+extra (B, K, K) HBM read per conv (~0.04% of step bytes) and deletes
+the kernel's dominant VPU stage (round-3 profile attack; VERDICT r2).
 """
 
 from __future__ import annotations
@@ -58,30 +65,6 @@ def _pick_bt(b: int, target: int = 8) -> int:
     while b % bt:
         bt -= 1
     return bt
-
-
-def _select_one(adj, m: int, use_alpha: bool):
-    """Top-m mask + masked row softmax for one (K, K) adjacency.
-
-    Pairwise rank with lowest-index tie-breaking: j' beats j iff
-    adj[j'] > adj[j] or (equal and j' < j); selecting rank < m picks
-    EXACTLY m entries per row (matches masked_neighbourhood incl.
-    all-equal rows)."""
-    k = adj.shape[-1]
-    beats = (adj[:, :, None] > adj[:, None, :])
-    jp = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 2)
-    ties = (adj[:, :, None] == adj[:, None, :]) & (jp < jj)
-    rank = jnp.sum((beats | ties).astype(jnp.float32), axis=1)  # (K, K)
-    mask = (rank < float(m)).astype(jnp.float32)
-
-    if not use_alpha:
-        return mask
-    neg = jnp.float32(-1e30)
-    masked_adj = jnp.where(mask > 0, adj, neg)
-    rowmax = jnp.max(masked_adj, axis=-1, keepdims=True)
-    ex = jnp.exp(masked_adj - rowmax) * mask
-    return ex / jnp.sum(ex, axis=-1, keepdims=True)
 
 
 def _gaussians_one(rho, theta, gp_ref, n_kernels: int):
@@ -131,17 +114,16 @@ def _epilogue(acc, s, seed_ref, *, relu: bool, dropout_rate: float,
     return acc
 
 
-def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, *refs,
-            m: int, n_kernels: int, d: int, use_alpha: bool, bt: int,
+def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
+            n_kernels: int, d: int, bt: int,
             relu: bool = False, dropout_rate: float = 0.0):
     """Inference forward: bt images per grid step, no residuals."""
     seed_ref = refs[0] if dropout_rate > 0 else None
     out_ref = refs[-1]
 
     def body(s, carry):
-        adj = adj_ref[s]                               # (K, K) f32
+        sel = sel_ref[s]                               # (K, K) f32
         ps = pseudo_ref[s]                             # (2, K, K)
-        sel = _select_one(adj, m, use_alpha)
         gws, denom = _gaussians_one(ps[0], ps[1], gp_ref, n_kernels)
         proj = proj_ref[s]                             # (K, nd)
         outs = []
@@ -161,18 +143,16 @@ def _kernel(adj_ref, pseudo_ref, proj_ref, gp_ref, *refs,
     jax.lax.fori_loop(0, bt, body, 0, unroll=False)
 
 
-def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, *refs,
-                m: int, n_kernels: int, d: int, use_alpha: bool, bt: int,
+def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
+                n_kernels: int, d: int, bt: int,
                 relu: bool = False, dropout_rate: float = 0.0):
-    """Training forward: also saves (sel, normalized gaussian, denom)."""
+    """Training forward: also saves (normalized gaussian, denom)."""
     seed_ref = refs[0] if dropout_rate > 0 else None
-    out_ref, sel_ref, ghat_ref, denom_ref = refs[-4:]
+    out_ref, ghat_ref, denom_ref = refs[-3:]
 
     def body(s, carry):
-        adj = adj_ref[s]
+        sel = sel_ref[s]
         ps = pseudo_ref[s]
-        sel = _select_one(adj, m, use_alpha)
-        sel_ref[s] = sel
         gws, denom = _gaussians_one(ps[0], ps[1], gp_ref, n_kernels)
         denom_ref[s] = denom
         proj = proj_ref[s]
@@ -194,7 +174,7 @@ def _kernel_res(adj_ref, pseudo_ref, proj_ref, gp_ref, *refs,
 
 def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
                 proj_ref, gp_ref, *refs,
-                n_kernels: int, d: int, use_alpha: bool, bt: int,
+                n_kernels: int, d: int, bt: int,
                 epilogue: bool = False, inv_keep: float = 1.0):
     """Hand-derived VJP of the fused graph block, fully in VMEM.
 
@@ -202,7 +182,8 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
       out_n = (sel * ghat_n) @ p_n
       dproj_n = (sel * ghat_n)^T @ g_n
       G_n    = g_n @ p_n^T                     (d out_n / d edge-weight)
-      dsel   = sum_n G_n * ghat_n
+      dsel   = sum_n G_n * ghat_n              (emitted; XLA carries the
+               softmax VJP from sel back to the adjacency)
       dgw_n  = G_n * sel
       dw_n   = (dgw_n - ind * sum_m dgw_m * ghat_m) / denom
                (quotient rule through the kernel-axis normalization;
@@ -211,15 +192,13 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
       drho  += dw_n * w_n * (-(rho - mu_r) / (1e-14 + pr^2))
       dtheta+= dw_n * w_n * (-D / (1e-14 + pt^2)) * dD/dtheta
       dmu/dprec accumulate the per-kernel sums of the same terms
-      dadj   = sel * (dsel - rowsum(dsel * sel))   [softmax VJP; alpha
-               path only — the 0/1 mask path is piecewise constant]
     """
     two_pi = jnp.float32(2.0 * math.pi)
     if epilogue:
         out_ref = refs[0]
-        dadj_ref, dpseudo_ref, dproj_ref, dgp_ref = refs[1:]
+        dsel_ref, dpseudo_ref, dproj_ref, dgp_ref = refs[1:]
     else:
-        dadj_ref, dpseudo_ref, dproj_ref, dgp_ref = refs
+        dsel_ref, dpseudo_ref, dproj_ref, dgp_ref = refs
 
     def body(s, dgp_acc):
         g = g_ref[s]                                   # (K, nd) f32
@@ -293,11 +272,7 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
                                * inv_t * inv_t))
 
         dpseudo_ref[s] = jnp.stack([drho, dth])
-        if use_alpha:
-            row = jnp.sum(dsel * sel, axis=-1, keepdims=True)
-            dadj_ref[s] = sel * (dsel - row)
-        else:
-            dadj_ref[s] = jnp.zeros_like(sel)
+        dsel_ref[s] = dsel
         return dgp_acc + jnp.stack([jnp.stack(dmu_r), jnp.stack(dmu_t),
                                     jnp.stack(dpr), jnp.stack(dpt)])
 
@@ -306,10 +281,10 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
     dgp_ref[0] = dgp
 
 
-def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
+def _pallas_forward(sel, pseudo, proj, gparams, *,
                     interpret=False, save_residuals=False,
                     relu=False, dropout_rate=0.0, seeds=None):
-    b, k, _ = adj.shape
+    b, k, _ = sel.shape
     n_kernels = gparams.shape[1]
     nd = proj.shape[-1]
     d = nd // n_kernels
@@ -327,7 +302,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
         pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    args = [adj.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
+    args = [sel.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
             proj, gparams.astype(jnp.float32)]
     if dropout_rate > 0:
         assert seeds is not None, "in-kernel dropout needs per-image seeds"
@@ -338,8 +313,8 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
         args.append(seeds.astype(jnp.int32))
     ep = dict(relu=relu, dropout_rate=dropout_rate)
     if not save_residuals:
-        kern = functools.partial(_kernel, m=m, n_kernels=n_kernels, d=d,
-                                 use_alpha=use_alpha, bt=bt, **ep)
+        kern = functools.partial(_kernel, n_kernels=n_kernels, d=d,
+                                 bt=bt, **ep)
         return pl.pallas_call(
             kern,
             grid=(b // bt,),
@@ -351,16 +326,14 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
             compiler_params=_COMPILER_PARAMS,
         )(*args)
 
-    kern = functools.partial(_kernel_res, m=m, n_kernels=n_kernels, d=d,
-                             use_alpha=use_alpha, bt=bt, **ep)
+    kern = functools.partial(_kernel_res, n_kernels=n_kernels, d=d,
+                             bt=bt, **ep)
     return pl.pallas_call(
         kern,
         grid=(b // bt,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, n_kernels, k, k), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -369,7 +342,6 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
-            jax.ShapeDtypeStruct((b, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, n_kernels, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
         ],
@@ -379,7 +351,7 @@ def _pallas_forward(adj, pseudo, proj, gparams, *, m, use_alpha,
 
 
 def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
-                     use_alpha, interpret=False, out=None,
+                     interpret=False, out=None,
                      dropout_rate=0.0):
     b, k, _ = sel.shape
     n_kernels = gparams.shape[1]
@@ -390,9 +362,9 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0 else 1.0
 
     kern = functools.partial(_kernel_bwd, n_kernels=n_kernels, d=d,
-                             use_alpha=use_alpha, bt=bt,
+                             bt=bt,
                              epilogue=epilogue, inv_keep=inv_keep)
-    dadj, dpseudo_cm, dproj, dgp_part = pl.pallas_call(
+    dsel, dpseudo_cm, dproj, dgp_part = pl.pallas_call(
         kern,
         grid=(b // bt,),
         in_specs=[
@@ -430,14 +402,14 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(g.astype(jnp.float32), sel, ghat, denom, pseudo_cm, proj,
-      gparams.astype(jnp.float32),
+    )(g.astype(jnp.float32), sel.astype(jnp.float32), ghat, denom,
+      pseudo_cm, proj, gparams.astype(jnp.float32),
       *(() if not epilogue else (out,)))
     dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)
     dgparams = jnp.sum(dgp_part, axis=0)               # (4, n)
     # cotangent dtype must mirror proj's (the model feeds bf16 proj in
     # the bf16 compute policy; the kernel computes the grad in f32)
-    return dadj, dpseudo, dproj.astype(proj.dtype), dgparams
+    return dsel, dpseudo, dproj.astype(proj.dtype), dgparams
 
 
 def edge_aggregate_reference(adj, pseudo, proj, gparams, *, m, use_alpha):
@@ -458,37 +430,43 @@ def edge_aggregate_reference(adj, pseudo, proj, gparams, *, m, use_alpha):
     return out.reshape(b, k, nd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def fused_edge_aggregate_act(adj, pseudo, proj, gparams, seeds, m,
-                             use_alpha, relu=False, dropout_rate=0.0,
-                             interpret=False):
-    """Differentiable fused graph block.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_sel_aggregate_act(sel, pseudo, proj, gparams, seeds,
+                            relu=False, dropout_rate=0.0,
+                            interpret=False):
+    """Differentiable fused aggregation over PRE-SELECTED edge weights.
+
+    sel is the (B, K, K) selected edge weighting — masked_neighbourhood's
+    softmaxed alpha (conv 1) or its 0/1 mask (conv 2); gradients flow
+    back through sel, so XLA's autodiff carries the softmax VJP to the
+    adjacency (and exactly-zero grads through the piecewise-constant
+    mask).
 
     Forward and backward each run ONE Pallas kernel: the forward saves
-    tiny residuals (sel, normalized gaussian weights, clamped denom —
-    (2+n)*K*K floats per image) and the backward (_kernel_bwd) computes
+    tiny residuals (normalized gaussian weights, clamped denom —
+    (1+n)*K*K floats per image) and the backward (_kernel_bwd) computes
     all four gradients in VMEM from them, with no forward recompute and
     no other HBM intermediates. The math matches
     jax.vjp(edge_aggregate_reference) term for term.
 
     Args:
-      adj:     (B, K, K) learned adjacency (fp32).
+      sel:     (B, K, K) selected edge weights (fp32).
       pseudo:  (B, K, K, 2) polar pseudo-coordinates.
       proj:    (B, K, n_kernels*d) per-kernel projected node features.
       gparams: (4, n_kernels) stacked [mean_rho; mean_theta;
                precision_rho; precision_theta].
-    Returns: (B, K, n_kernels*d) float32.
+    Returns: (B, K, n_kernels*d) in proj.dtype.
     """
-    return _pallas_forward(adj, pseudo, proj, gparams, m=m,
-                           use_alpha=use_alpha, interpret=interpret,
+    return _pallas_forward(sel, pseudo, proj, gparams,
+                           interpret=interpret,
                            relu=relu, dropout_rate=dropout_rate,
                            seeds=seeds)
 
 
-def _fwd(adj, pseudo, proj, gparams, seeds, m, use_alpha, relu,
-         dropout_rate, interpret):
-    out, sel, ghat, denom = _pallas_forward(
-        adj, pseudo, proj, gparams, m=m, use_alpha=use_alpha,
+def _fwd(sel, pseudo, proj, gparams, seeds, relu, dropout_rate,
+         interpret):
+    out, ghat, denom = _pallas_forward(
+        sel, pseudo, proj, gparams,
         interpret=interpret, save_residuals=True,
         relu=relu, dropout_rate=dropout_rate, seeds=seeds)
     pseudo_cm = jnp.moveaxis(pseudo, -1, 1)
@@ -496,17 +474,29 @@ def _fwd(adj, pseudo, proj, gparams, seeds, m, use_alpha, relu,
     return out, (sel, ghat, denom, pseudo_cm, proj, gparams, epi_out)
 
 
-def _bwd(m, use_alpha, relu, dropout_rate, interpret, res, g):
-    del m, relu
+def _bwd(relu, dropout_rate, interpret, res, g):
+    del relu
     sel, ghat, denom, pseudo_cm, proj, gparams, epi_out = res
     grads = _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj,
-                             gparams, use_alpha=use_alpha,
+                             gparams,
                              interpret=interpret, out=epi_out,
                              dropout_rate=dropout_rate)
     return grads + (None,)  # seeds carry no gradient
 
 
-fused_edge_aggregate_act.defvjp(_fwd, _bwd)
+fused_sel_aggregate_act.defvjp(_fwd, _bwd)
+
+
+def fused_edge_aggregate_act(adj, pseudo, proj, gparams, seeds, m,
+                             use_alpha, relu=False, dropout_rate=0.0,
+                             interpret=False):
+    """Fused graph block from the raw adjacency: top-m selection in XLA
+    (masked_neighbourhood — shared with the non-Pallas path), the
+    gaussian/aggregate/epilogue stage in the Pallas kernel."""
+    alpha, mask = masked_neighbourhood(adj, m)
+    return fused_sel_aggregate_act(alpha if use_alpha else mask,
+                                   pseudo, proj, gparams, seeds,
+                                   relu, dropout_rate, interpret)
 
 
 def fused_edge_aggregate(adj, pseudo, proj, gparams, m, use_alpha,

@@ -54,8 +54,11 @@ _TWO_PI = 2.0 * math.pi
 
 
 def _select_both(adj, m: int):
-    """(mask, alpha) from one rank computation (edge_aggregate's
-    _select_one computes the pairwise rank twice when both are needed)."""
+    """(mask, alpha) from ONE in-kernel pairwise-rank computation.
+
+    Note: the per-conv kernels (edge_aggregate.py) hoisted selection out
+    to XLA's masked_neighbourhood in round 3; this merged-block kernel
+    keeps it in-kernel because it consumes the raw adjacency directly."""
     k = adj.shape[-1]
     beats = (adj[:, :, None] > adj[:, None, :])
     jp = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), 1)
