@@ -201,7 +201,12 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
         dsel_ref, dpseudo_ref, dproj_ref, dgp_ref = refs
 
     def body(s, dgp_acc):
-        g = g_ref[s]                                   # (K, nd) f32
+        # g arrives in the cotangent's native dtype (bf16 under the
+        # bf16 compute policy) and is widened HERE, in VMEM: casting at
+        # the XLA level forced a full f32 layout-copy of the (B, K, nd)
+        # cotangent in HBM before the custom call (263 us at bs 256 in
+        # the round-3 profile; bf16->f32 is exact, so this is free)
+        g = g_ref[s].astype(jnp.float32)               # (K, nd)
         if epilogue:
             # out>0 encodes relu AND dropout-keep; dropped/negative
             # units get exactly-zero gradient, kept ones the 1/(1-p)
@@ -235,7 +240,10 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
             dgw_n = g_edge * sel
             dgws.append(dgw_n)
             s_cross = s_cross + dgw_n * ghat_n
-        dproj_ref[s] = jnp.concatenate(dprojs, axis=-1)
+        # computed in f32, stored in proj's dtype (mirrors the forward's
+        # out_ref store; saves the downstream XLA convert + f32 copy)
+        dproj_ref[s] = jnp.concatenate(dprojs, axis=-1
+                                       ).astype(dproj_ref.dtype)
 
         # pass 2: through the normalized gaussians to pseudo + gparams
         drho = jnp.zeros_like(sel)
@@ -397,19 +405,20 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
         out_shape=[
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, 2, k, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, nd), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
             jax.ShapeDtypeStruct((b // bt, 4, n_kernels), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(g.astype(jnp.float32), sel.astype(jnp.float32), ghat, denom,
+    )(g, sel.astype(jnp.float32), ghat, denom,
       pseudo_cm, proj, gparams.astype(jnp.float32),
       *(() if not epilogue else (out,)))
     dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)
     dgparams = jnp.sum(dgp_part, axis=0)               # (4, n)
-    # cotangent dtype must mirror proj's (the model feeds bf16 proj in
-    # the bf16 compute policy; the kernel computes the grad in f32)
-    return dsel, dpseudo, dproj.astype(proj.dtype), dgparams
+    # the cotangent dtype mirrors proj's (the model feeds bf16 proj in
+    # the bf16 compute policy); the kernel computes the grad in f32 and
+    # rounds once on the VMEM store — no XLA-level convert/copy pair
+    return dsel, dpseudo, dproj, dgparams
 
 
 def edge_aggregate_reference(adj, pseudo, proj, gparams, *, m, use_alpha):
