@@ -68,7 +68,12 @@ def _pick_bt(b: int, target: int = 8) -> int:
 
 
 def _gaussians_one(rho, theta, gp_ref, n_kernels: int):
-    """Per-kernel Gaussian weights for one image: ([w_n], clamped denom).
+    """Per-kernel Gaussian weights: ([w_n], clamped denom).
+
+    Shape-polymorphic elementwise math: rho/theta may be one image's
+    (K, K) planes or the whole batch-tile's (bt, K, K) — the kernels
+    call it ONCE per grid step on the full tile so the VPU sees bt*K-row
+    tiles instead of bt separate K-row dispatches.
 
     Reference semantics (layers.py:100-125): 1e-14 precision epsilons,
     wrapped theta distance, NaN-zeroing before the kernel-axis
@@ -117,19 +122,30 @@ def _epilogue(acc, s, seed_ref, *, relu: bool, dropout_rate: float,
 def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
             n_kernels: int, d: int, bt: int,
             relu: bool = False, dropout_rate: float = 0.0):
-    """Inference forward: bt images per grid step, no residuals."""
+    """Inference forward: bt images per grid step, no residuals.
+
+    Round-3 restructure: ALL elementwise work (gaussians, kernel-axis
+    normalization, the sel multiply) runs ONCE per grid step on the
+    whole (bt, ...) tile — the per-image fori_loop issues only the MXU
+    dots and the epilogue. The old per-image structure dispatched
+    bt * n_kernels tiny (K, K) VPU ops per stage, and dispatch overhead
+    dominated the kernel (~1.1 ms of the 8 ms step at bs 256). The
+    block edge weights route through a VMEM scratch because Mosaic
+    cannot dynamically index VALUES by a loop var."""
     seed_ref = refs[0] if dropout_rate > 0 else None
-    out_ref = refs[-1]
+    out_ref = refs[-2]
+    w_scr = refs[-1]                                   # (bt, n, K, K) VMEM
+
+    gws, denom = _gaussians_one(pseudo_ref[:, 0], pseudo_ref[:, 1],
+                                gp_ref, n_kernels)     # n x (bt, K, K)
+    w_scr[:] = sel_ref[:][:, None] * (jnp.stack(gws, axis=1)
+                                      / denom[:, None])
 
     def body(s, carry):
-        sel = sel_ref[s]                               # (K, K) f32
-        ps = pseudo_ref[s]                             # (2, K, K)
-        gws, denom = _gaussians_one(ps[0], ps[1], gp_ref, n_kernels)
         proj = proj_ref[s]                             # (K, nd)
         outs = []
         for n in range(n_kernels):
-            w_n = sel * (gws[n] / denom)
-            outs.append(jnp.dot(w_n, proj[:, n * d:(n + 1) * d],
+            outs.append(jnp.dot(w_scr[s, n], proj[:, n * d:(n + 1) * d],
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(proj.dtype)))
         # accumulate f32, store in the proj dtype (bf16 in the compute
@@ -146,24 +162,29 @@ def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
 def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
                 n_kernels: int, d: int, bt: int,
                 relu: bool = False, dropout_rate: float = 0.0):
-    """Training forward: also saves (normalized gaussian, denom)."""
+    """Training forward: also saves (normalized gaussian, denom).
+
+    Same block-vectorized structure as _kernel; the residual refs double
+    as the block stores (ghat_ref is written once per grid step and read
+    back per image inside the dot loop)."""
     seed_ref = refs[0] if dropout_rate > 0 else None
-    out_ref, ghat_ref, denom_ref = refs[-3:]
+    out_ref, ghat_ref, denom_ref = refs[-4:-1]
+    w_scr = refs[-1]                                   # (bt, n, K, K) VMEM
+
+    gws, denom = _gaussians_one(pseudo_ref[:, 0], pseudo_ref[:, 1],
+                                gp_ref, n_kernels)
+    denom_ref[:] = denom
+    ghat = jnp.stack(gws, axis=1) / denom[:, None]     # (bt, n, K, K)
+    ghat_ref[:] = ghat
+    w_scr[:] = sel_ref[:][:, None] * ghat
 
     def body(s, carry):
-        sel = sel_ref[s]
-        ps = pseudo_ref[s]
-        gws, denom = _gaussians_one(ps[0], ps[1], gp_ref, n_kernels)
-        denom_ref[s] = denom
         proj = proj_ref[s]
-        outs, ghats = [], []
+        outs = []
         for n in range(n_kernels):
-            ghat_n = gws[n] / denom
-            ghats.append(ghat_n)
-            outs.append(jnp.dot(sel * ghat_n, proj[:, n * d:(n + 1) * d],
+            outs.append(jnp.dot(w_scr[s, n], proj[:, n * d:(n + 1) * d],
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(proj.dtype)))
-        ghat_ref[s] = jnp.stack(ghats)                 # (n, K, K)
         acc = _epilogue(jnp.concatenate(outs, axis=-1), s, seed_ref,
                         relu=relu, dropout_rate=dropout_rate, bt=bt)
         out_ref[s] = acc.astype(out_ref.dtype)
@@ -196,97 +217,99 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
     two_pi = jnp.float32(2.0 * math.pi)
     if epilogue:
         out_ref = refs[0]
-        dsel_ref, dpseudo_ref, dproj_ref, dgp_ref = refs[1:]
-    else:
-        dsel_ref, dpseudo_ref, dproj_ref, dgp_ref = refs
+        refs = refs[1:]
+    dsel_ref, dpseudo_ref, dproj_ref, dgp_ref = refs[:4]
+    g_scr, w_scr, ge_scr = refs[4:]                    # VMEM scratch
 
-    def body(s, dgp_acc):
-        # g arrives in the cotangent's native dtype (bf16 under the
-        # bf16 compute policy) and is widened HERE, in VMEM: casting at
-        # the XLA level forced a full f32 layout-copy of the (B, K, nd)
-        # cotangent in HBM before the custom call (263 us at bs 256 in
-        # the round-3 profile; bf16->f32 is exact, so this is free)
-        g = g_ref[s].astype(jnp.float32)               # (K, nd)
-        if epilogue:
-            # out>0 encodes relu AND dropout-keep; dropped/negative
-            # units get exactly-zero gradient, kept ones the 1/(1-p)
-            # inverted-dropout scale. Compare in f32 — the VPU has no
-            # bf16 cmpf ("Target does not support this comparison").
-            g = g * (out_ref[s].astype(jnp.float32) > 0
-                     ).astype(jnp.float32) * jnp.float32(inv_keep)
-        sel = sel_ref[s]                               # (K, K)
-        ghat = ghat_ref[s]                             # (n, K, K)
-        denom = denom_ref[s]                           # (K, K)
-        ps = pseudo_ref[s]
-        rho, theta = ps[0], ps[1]
+    # phase 0 (block-vectorized): widen the cotangent IN VMEM — casting
+    # at the XLA level forced a full f32 layout-copy of the (B, K, nd)
+    # cotangent in HBM before the custom call (263 us at bs 256;
+    # bf16->f32 is exact) — apply the activation epilogue, and form the
+    # selected edge weights once for the whole tile.
+    g_all = g_ref[:].astype(jnp.float32)               # (bt, K, nd)
+    if epilogue:
+        # out>0 encodes relu AND dropout-keep; dropped/negative
+        # units get exactly-zero gradient, kept ones the 1/(1-p)
+        # inverted-dropout scale. Compare in f32 — the VPU has no
+        # bf16 cmpf ("Target does not support this comparison").
+        g_all = g_all * (out_ref[:].astype(jnp.float32) > 0
+                         ).astype(jnp.float32) * jnp.float32(inv_keep)
+    g_scr[:] = g_all
+    w_scr[:] = sel_ref[:][:, None] * ghat_ref[:]       # (bt, n, K, K)
+
+    # phase 1 (per image): ONLY the MXU dots — everything else runs on
+    # whole-tile tensors (the old per-image/per-kernel structure spent
+    # more on VPU op dispatch than on math; round-3 profile attack)
+    def body(s, carry):
+        g = g_scr[s]                                   # (K, nd) f32
         proj = proj_ref[s]
-        ind = (denom > 1e-20).astype(jnp.float32)
-
-        # pass 1: matmul grads + dsel + dgw + normalization cross term
-        dsel = jnp.zeros_like(sel)
-        s_cross = jnp.zeros_like(sel)
-        dgws, dprojs = [], []
+        dprojs = []
         for n in range(n_kernels):
             g_n = g[:, n * d:(n + 1) * d]
             p_n = proj[:, n * d:(n + 1) * d]
-            ghat_n = ghat[n]
-            dprojs.append(jnp.dot((sel * ghat_n).T, g_n,
+            dprojs.append(jnp.dot(w_scr[s, n].T, g_n,
                                   preferred_element_type=jnp.float32,
                                   precision=_dot_precision(proj.dtype)))
-            g_edge = jnp.dot(g_n, p_n.T,
-                             preferred_element_type=jnp.float32,
-                             precision=_dot_precision(proj.dtype))  # (K,K)
-            dsel = dsel + g_edge * ghat_n
-            dgw_n = g_edge * sel
-            dgws.append(dgw_n)
-            s_cross = s_cross + dgw_n * ghat_n
+            ge_scr[s, n] = jnp.dot(g_n, p_n.T,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_dot_precision(proj.dtype))
         # computed in f32, stored in proj's dtype (mirrors the forward's
         # out_ref store; saves the downstream XLA convert + f32 copy)
         dproj_ref[s] = jnp.concatenate(dprojs, axis=-1
                                        ).astype(dproj_ref.dtype)
+        return carry
 
-        # pass 2: through the normalized gaussians to pseudo + gparams
-        drho = jnp.zeros_like(sel)
-        dth = jnp.zeros_like(sel)
-        dmu_r, dmu_t, dpr, dpt = [], [], [], []
-        for n in range(n_kernels):
-            mu_r = gp_ref[0, n]
-            mu_t = gp_ref[1, n]
-            pr = gp_ref[2, n]
-            pt = gp_ref[3, n]
-            inv_r = 1.0 / (1e-14 + pr * pr)
-            inv_t = 1.0 / (1e-14 + pt * pt)
-            dw_n = (dgws[n] - ind * s_cross) / denom
-            w_n = ghat[n] * denom                      # exact w (NaN->0)
-            dwn_wn = dw_n * w_n
+    jax.lax.fori_loop(0, bt, body, 0, unroll=False)
 
-            x_r = rho - mu_r
-            drho = drho + dwn_wn * (-x_r * inv_r)
-            dmu_r.append(jnp.sum(dwn_wn * x_r * inv_r))
-            dpr.append(jnp.sum(dwn_wn * (x_r * x_r) * pr * inv_r * inv_r))
+    # phase 2 (block-vectorized): d(edge weight) back through the
+    # kernel-axis normalization and the gaussians to pseudo + gparams
+    sel = sel_ref[:]                                   # (bt, K, K)
+    ghat = ghat_ref[:]                                 # (bt, n, K, K)
+    denom = denom_ref[:]
+    rho = pseudo_ref[:, 0]
+    theta = pseudo_ref[:, 1]
+    ind = (denom > 1e-20).astype(jnp.float32)
+    ge = ge_scr[:]                                     # (bt, n, K, K)
+    dsel_ref[:] = jnp.sum(ge * ghat, axis=1)
+    dgw = ge * sel[:, None]
+    s_cross = jnp.sum(dgw * ghat, axis=1)              # (bt, K, K)
 
-            first = jnp.abs(theta - mu_t)
-            second = jnp.abs(two_pi - first)
-            dist = jnp.minimum(first, second)
-            # dD/dfirst: 1 on the first branch, -sign(2pi - first) on
-            # the second (jnp.minimum routes ties to the first operand)
-            dd_dfirst = jnp.where(first <= second, 1.0,
-                                  -jnp.sign(two_pi - first))
-            sgn = jnp.sign(theta - mu_t)
-            common_t = dwn_wn * (-dist * inv_t) * dd_dfirst * sgn
-            dth = dth + common_t
-            dmu_t.append(jnp.sum(-common_t))
-            dpt.append(jnp.sum(dwn_wn * (dist * dist) * pt
-                               * inv_t * inv_t))
+    drho = jnp.zeros_like(denom)
+    dth = jnp.zeros_like(denom)
+    dmu_r, dmu_t, dpr, dpt = [], [], [], []
+    for n in range(n_kernels):
+        mu_r = gp_ref[0, n]
+        mu_t = gp_ref[1, n]
+        pr = gp_ref[2, n]
+        pt = gp_ref[3, n]
+        inv_r = 1.0 / (1e-14 + pr * pr)
+        inv_t = 1.0 / (1e-14 + pt * pt)
+        dw_n = (dgw[:, n] - ind * s_cross) / denom
+        w_n = ghat[:, n] * denom                       # exact w (NaN->0)
+        dwn_wn = dw_n * w_n
 
-        dpseudo_ref[s] = jnp.stack([drho, dth])
-        dsel_ref[s] = dsel
-        return dgp_acc + jnp.stack([jnp.stack(dmu_r), jnp.stack(dmu_t),
-                                    jnp.stack(dpr), jnp.stack(dpt)])
+        x_r = rho - mu_r
+        drho = drho + dwn_wn * (-x_r * inv_r)
+        dmu_r.append(jnp.sum(dwn_wn * x_r * inv_r))
+        dpr.append(jnp.sum(dwn_wn * (x_r * x_r) * pr * inv_r * inv_r))
 
-    dgp = jax.lax.fori_loop(
-        0, bt, body, jnp.zeros((4, n_kernels), jnp.float32), unroll=False)
-    dgp_ref[0] = dgp
+        first = jnp.abs(theta - mu_t)
+        second = jnp.abs(two_pi - first)
+        dist = jnp.minimum(first, second)
+        # dD/dfirst: 1 on the first branch, -sign(2pi - first) on
+        # the second (jnp.minimum routes ties to the first operand)
+        dd_dfirst = jnp.where(first <= second, 1.0,
+                              -jnp.sign(two_pi - first))
+        sgn = jnp.sign(theta - mu_t)
+        common_t = dwn_wn * (-dist * inv_t) * dd_dfirst * sgn
+        dth = dth + common_t
+        dmu_t.append(jnp.sum(-common_t))
+        dpt.append(jnp.sum(dwn_wn * (dist * dist) * pt
+                           * inv_t * inv_t))
+
+    dpseudo_ref[:] = jnp.stack([drho, dth], axis=1)
+    dgp_ref[0] = jnp.stack([jnp.stack(dmu_r), jnp.stack(dmu_t),
+                            jnp.stack(dpr), jnp.stack(dpt)])
 
 
 def _pallas_forward(sel, pseudo, proj, gparams, *,
@@ -320,6 +343,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
                                      memory_space=pltpu.SMEM))
         args.append(seeds.astype(jnp.int32))
     ep = dict(relu=relu, dropout_rate=dropout_rate)
+    w_scratch = pltpu.VMEM((bt, n_kernels, k, k), jnp.float32)
     if not save_residuals:
         kern = functools.partial(_kernel, n_kernels=n_kernels, d=d,
                                  bt=bt, **ep)
@@ -330,6 +354,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
             out_specs=pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
+            scratch_shapes=[w_scratch],
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
         )(*args)
@@ -353,6 +378,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
             jax.ShapeDtypeStruct((b, n_kernels, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
         ],
+        scratch_shapes=[w_scratch],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
@@ -407,6 +433,11 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
             jax.ShapeDtypeStruct((b, 2, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
             jax.ShapeDtypeStruct((b // bt, 4, n_kernels), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bt, k, nd), jnp.float32),          # g (widened)
+            pltpu.VMEM((bt, n_kernels, k, k), jnp.float32),  # sel*ghat
+            pltpu.VMEM((bt, n_kernels, k, k), jnp.float32),  # g_edge
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
