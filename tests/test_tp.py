@@ -65,7 +65,7 @@ def test_shard_state_placement_rules(data_dir):
     assert _spec_of(p["gru_w_ih"]) == P("model", None)
     assert _spec_of(p["gru_b_hh"]) == P("model")
     assert _spec_of(p["graph_convolution_1"]["conv_kernels"]) == \
-        P("model", None, None)
+        P(None, "model")
     assert _spec_of(p["graph_convolution_2"]["mean_rho"]) == P("model")
     assert _spec_of(p["wembed"]) == P("model", None)
     assert _spec_of(p["adjacency_1"]["edge_layer_1"]["v"]) == P(None, "model")

@@ -178,18 +178,26 @@ class GaussianGraphConv(nn.Module):
                                      _uniform_init(0.0, 1.0),
                                      (self.n_kernels,))
         # Stacked per-kernel projections (reference: n_kernels bias-free
-        # Linears of shape (in, out/n), layers.py:54-55).
+        # Linears of shape (in, out/n), layers.py:54-55), stored FUSED as
+        # one (in, out) matrix whose column block n*d:(n+1)*d is kernel
+        # n: the projection, its dX and its dW then compile to plain 2-D
+        # GEMMs instead of XLA's batch-8 convolution emitter, which
+        # chose exotic layouts (two ~100 us copies at the Pallas
+        # boundary) and ~40% MXU utilization on the weight gradient
+        # (round-3 profile attack). Same iid init; torch_import concats
+        # the reference's per-kernel Linears along columns.
         conv_kernels = self.param(
             "conv_kernels",
             _torch_linear_init(self.in_dim),
-            (self.n_kernels, self.in_dim, self.out_dim // self.n_kernels),
+            (self.in_dim, self.out_dim),
         )
         if params_only:
             # the merged whole-block kernel (ops/pallas/graph_block.py)
-            # consumes both convs' parameters directly
+            # consumes both convs' parameters directly in (n, in, d)
             return (jnp.stack([mean_rho, mean_theta,
                                precision_rho, precision_theta]),
-                    conv_kernels)
+                    conv_kernels.reshape(
+                        self.in_dim, self.n_kernels, -1).transpose(1, 0, 2))
 
         if self.use_pallas:
             import jax as _jax
@@ -205,11 +213,12 @@ class GaussianGraphConv(nn.Module):
             # f32 compute triggers the kernel's exact-f32 dots via
             # _dot_precision) and the (B, K, nd) HBM round trip halves.
             cdt = jnp.dtype(self.compute_dtype)
-            proj = jnp.einsum(
-                "bjf,nfd->bjnd", features.astype(cdt),
+            proj = jnp.dot(
+                features.astype(cdt).reshape(b * k, -1),
                 conv_kernels.astype(cdt),
                 preferred_element_type=cdt,
-                precision=matmul_precision(self.compute_dtype))
+                precision=matmul_precision(self.compute_dtype)
+            ).reshape(b, k, -1)
             gparams = jnp.stack([mean_rho, mean_theta,
                                  precision_rho, precision_theta])
             interpret = _jax.devices()[0].platform != "tpu"

@@ -13,7 +13,8 @@ Key mapping (torch module names from sparse_graph_model.py/layers.py):
   adjacency_1.edge_layer_{1,2}.weight_g  -> .../g  ((out,1) -> (out,))
   adjacency_1.edge_layer_{1,2}.bias      -> .../b
   graph_convolution_{1,2}.conv_weights.{i}.weight
-                                         -> conv_kernels[i] (transposed)
+                                         -> conv_kernels[:, i*d:(i+1)*d]
+                                            (transposed, column-concat)
   graph_convolution_{1,2}.{mean,precision}_{rho,theta} ((n,1) -> (n,))
   out_{1,2}.{weight_v,weight_g,bias}     -> out_N/{v,g,b}
 
@@ -78,7 +79,9 @@ def import_torch_state_dict(state_dict: Dict) -> Dict:
         if not kernels:
             raise KeyError(f"no conv_weights found under {conv}")
         params[conv] = {
-            "conv_kernels": np.stack(kernels),              # (n, in, out/n)
+            # fused (in, out): column block n*d:(n+1)*d is kernel n
+            # (see GraphConvolution — plain-GEMM projection layout)
+            "conv_kernels": np.concatenate(kernels, axis=1),
             "mean_rho": _np(sd[f"{conv}.mean_rho"]).reshape(-1),
             "mean_theta": _np(sd[f"{conv}.mean_theta"]).reshape(-1),
             "precision_rho": _np(sd[f"{conv}.precision_rho"]).reshape(-1),

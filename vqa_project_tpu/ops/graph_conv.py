@@ -40,9 +40,9 @@ def graph_convolution(
       features:      (B, K, in_dim) node features.
       dense_weights: (B, K, n_kernels, K) dense aggregation weights from
                      dense_neighbourhood_weights().
-      conv_kernels:  (n_kernels, in_dim, out_dim // n_kernels) stacked
-                     projection weights (reference: n_kernels bias-free
-                     nn.Linear layers, layers.py:54-55).
+      conv_kernels:  (in_dim, out_dim) fused projection weights; column
+                     block n*d:(n+1)*d is kernel n (reference: n_kernels
+                     bias-free nn.Linear layers, layers.py:54-55).
     Returns:
       (B, K, out_dim) convolved features, float32.
     """
@@ -55,8 +55,10 @@ def graph_convolution(
                      preferred_element_type=jnp.float32,
                      precision=prec)                      # (B,K,n,in)
     # Stacked per-kernel projections; concat over kernels == reshape.
+    kern3 = (conv_kernels.reshape(conv_kernels.shape[0], n_kernels, -1)
+             .transpose(1, 0, 2))                         # (n,in,d) view
     out = jnp.einsum("binf,nfd->bind", agg.astype(compute_dtype),
-                     conv_kernels.astype(compute_dtype),
+                     kern3.astype(compute_dtype),
                      preferred_element_type=jnp.float32,
                      precision=prec)                      # (B,K,n,out/n)
     return out.reshape(b, k, -1)
@@ -83,21 +85,23 @@ def masked_graph_convolution(
       edge_weights: (B, K, K, n_kernels) dense combined weights
                     (gaussian x alpha/mask; zero outside the top-m
                     neighbourhood).
-      conv_kernels: (n_kernels, in_dim, out_dim // n_kernels).
+      conv_kernels: (in_dim, out_dim) fused; column block n*d:(n+1)*d
+                    is kernel n.
     Returns:
       (B, K, out_dim) float32.
     """
     b, k = features.shape[:2]
+    n_kernels = edge_weights.shape[-1]
     prec = matmul_precision(compute_dtype)
     # Store the big (B, K, n, d) intermediates in the COMPUTE dtype: the
     # step is HBM-bandwidth-bound (XLA cost analysis: 7.4 GB/step at
     # batch 256 vs 4 ms of FLOPs), and fp32 round-trips double the
     # traffic. The MXU still accumulates fp32 internally for bf16
     # inputs; only the stored rounding changes.
-    proj = jnp.einsum("bjf,nfd->bjnd", features.astype(compute_dtype),
-                      conv_kernels.astype(compute_dtype),
-                      preferred_element_type=compute_dtype,
-                      precision=prec)                     # (B,K,n,d)
+    proj = jnp.dot(features.astype(compute_dtype).reshape(b * k, -1),
+                   conv_kernels.astype(compute_dtype),
+                   preferred_element_type=compute_dtype,
+                   precision=prec).reshape(b, k, n_kernels, -1)  # (B,K,n,d)
     out = jnp.einsum("bijn,bjnd->bind",
                      edge_weights.astype(compute_dtype),
                      proj,

@@ -23,10 +23,12 @@ as in the 1-D case; parameters and their Adam moments shard on
 - GRU ``w_ih``/``w_hh`` (3H, in) -> P("model", None) with biases
   P("model"): gate-block row sharding (each chip owns a contiguous
   slice of the r/z/n gate rows).
-- ``conv_kernels`` (n_kernels, in, out/n) and the Gaussian
-  mean/precision vectors (n_kernels,) -> P("model", ...): the MoNet
-  kernel axis is embarrassingly parallel (expert-parallel-style — each
-  chip evaluates its own Gaussian kernels end-to-end).
+- ``conv_kernels`` (in, out) fused, column block n = kernel n ->
+  P(None, "model"), and the Gaussian mean/precision vectors
+  (n_kernels,) -> P("model"): the MoNet kernel axis is embarrassingly
+  parallel (expert-parallel-style — each chip evaluates its own
+  Gaussian kernels end-to-end; out = n*d, so column sharding by tp |
+  n_kernels splits on kernel boundaries).
 - ``wembed`` (vocab, emb) -> P("model", None): vocab-sharded embedding
   gather.
 
@@ -75,7 +77,7 @@ _RULES: Tuple[Tuple[Tuple[str, ...], P], ...] = (
     (("gru_w_hh",), P("model", None)),
     (("gru_b_ih",), P("model")),
     (("gru_b_hh",), P("model")),
-    (("conv_kernels",), P("model", None, None)),
+    (("conv_kernels",), P(None, "model")),
     (("mean_rho",), P("model")),
     (("mean_theta",), P("model")),
     (("precision_rho",), P("model")),

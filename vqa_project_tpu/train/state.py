@@ -133,6 +133,7 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None
     it (shape-checked) and return (payload, new_state)."""
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
+    _migrate_conv_kernels(payload)
     new_state = None
     if state is not None:
         params = flax.serialization.from_state_dict(
@@ -152,3 +153,23 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None
 def _to_pure(tree):
     """Convert optax NamedTuples etc. into plain serializable containers."""
     return flax.serialization.to_state_dict(tree)
+
+
+def _migrate_conv_kernels(tree) -> None:
+    """In-place: legacy (n, in, d) conv_kernels -> fused (in, n*d).
+
+    Checkpoints written before the round-3 plain-GEMM projection layout
+    stored the per-kernel projections stacked; the fused matrix with
+    column block n*d:(n+1)*d == kernel n holds the identical weights
+    (transpose + reshape), so old checkpoints — including their Adam
+    moments, which mirror the param tree — keep loading bit-for-bit."""
+    if not isinstance(tree, dict):
+        return
+    for key, val in tree.items():
+        if (key == "conv_kernels" and hasattr(val, "ndim")
+                and val.ndim == 3):
+            n, in_dim, d = val.shape
+            tree[key] = np.asarray(val).transpose(1, 0, 2).reshape(
+                in_dim, n * d)
+        else:
+            _migrate_conv_kernels(val)
