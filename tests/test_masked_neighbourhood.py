@@ -26,6 +26,8 @@ def _inputs(rng):
     gparams = [rng.uniform(0.1, 1.0, N_KERN).astype(np.float32)
                for _ in range(4)]
     out_dim = 16
+    # built (n, f, d) for the numpy oracle; the framework takes the
+    # fused (f, n*d) layout (column block n = kernel n)
     kernels = (rng.normal(size=(N_KERN, F, out_dim // N_KERN))
                .astype(np.float32) * 0.1)
     return adj, pseudo, feats, gparams, kernels
@@ -55,9 +57,11 @@ def test_masked_conv_equals_sparse_conv(rng):
     alpha, mask = masked_neighbourhood(adj_j, M)
     gw_full = gaussian_kernel_weights(pseudo_j, *gj)     # (B,K,K,n)
     for selection in (alpha, mask):
+        fused = jnp.asarray(kernels.transpose(1, 0, 2)
+                            .reshape(kernels.shape[1], -1))
         got = np.asarray(masked_graph_convolution(
             jnp.asarray(feats), gw_full * selection[..., None],
-            jnp.asarray(kernels), compute_dtype=jnp.float32))
+            fused, compute_dtype=jnp.float32))
 
         # sparse reference path
         alpha_s, idx = topk_edge_softmax(adj_j, M)
@@ -66,7 +70,7 @@ def test_masked_conv_equals_sparse_conv(rng):
         dense_w = dense_neighbourhood_weights(
             alpha_s, idx, gw, K, weight_by_alpha=selection is alpha)
         expected = np.asarray(graph_convolution(
-            jnp.asarray(feats), dense_w, jnp.asarray(kernels),
+            jnp.asarray(feats), dense_w, fused,
             compute_dtype=jnp.float32))
 
         np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)

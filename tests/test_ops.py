@@ -137,8 +137,10 @@ def test_dense_graph_conv_matches_gather_formulation(rng):
         dense_w = dense_neighbourhood_weights(
             jnp.asarray(alpha), jnp.asarray(idx), jnp.asarray(gw), K,
             weight_by_alpha)
+        fused = jnp.asarray(kernels.transpose(1, 0, 2)
+                            .reshape(kernels.shape[1], -1))
         got = np.asarray(graph_convolution(
-            jnp.asarray(feats), dense_w, jnp.asarray(kernels),
+            jnp.asarray(feats), dense_w, fused,
             compute_dtype=jnp.float32))
 
         # sparse oracle
