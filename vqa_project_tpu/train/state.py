@@ -54,7 +54,14 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
 def create_train_state(model, model_cfg: ModelConfig, tx,
                        sample_batch: Dict[str, np.ndarray],
                        seed: int = 1000) -> TrainState:
-    init_rng, drop_rng = jax.random.split(jax.random.key(seed))
+    # Param init keeps threefry (bit-identical draws to every earlier
+    # round for a given seed); the TRAINING rng is an rbg key — the
+    # per-step dropout masks (the (B, K, 2052) feature dropout alone
+    # needs ~19M random bits) then generate via the TPU's hardware RNG
+    # instead of a threefry fusion, several hundred us of the bs-256
+    # step (round-3 profile). Statistically equivalent dropout.
+    init_rng, _ = jax.random.split(jax.random.key(seed))
+    drop_rng = jax.random.key(seed, impl="rbg")
     params = model.init(
         init_rng,
         jnp.asarray(sample_batch["question"]),
@@ -140,7 +147,12 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None
             state.params, payload["params"])
         opt_state = flax.serialization.from_state_dict(
             state.opt_state, payload["opt_state"])
-        rng = jax.random.wrap_key_data(jnp.asarray(payload["rng"]))
+        rng_data = jnp.asarray(payload["rng"])
+        # key impl from the stored data width: rbg carries (4,) uint32,
+        # legacy threefry checkpoints (2,) — both resume bit-exactly
+        rng = jax.random.wrap_key_data(
+            rng_data, impl="rbg" if rng_data.shape[-1] == 4
+            else "threefry2x32")
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
