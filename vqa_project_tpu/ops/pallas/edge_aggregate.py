@@ -119,6 +119,21 @@ def _epilogue(acc, s, seed_ref, *, relu: bool, dropout_rate: float,
     return acc
 
 
+def _tile_aggregate(w_all, proj_all, n_kernels: int, d: int):
+    """(bt, n, K, K) edge weights x (bt, K, n*d) proj -> (bt, K, n*d)
+    f32, one batched dot_general per kernel (batch dim = the image
+    tile; 2*n MXU dispatches per grid step instead of 2*n*bt)."""
+    prec = _dot_precision(proj_all.dtype)
+    outs = []
+    for n in range(n_kernels):
+        p_n = proj_all[:, :, n * d:(n + 1) * d].astype(jnp.float32)
+        outs.append(jax.lax.dot_general(
+            w_all[:, n], p_n, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec))                           # (bt, K, d)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
             n_kernels: int, d: int, bt: int,
             relu: bool = False, dropout_rate: float = 0.0):
@@ -132,31 +147,39 @@ def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
     dominated the kernel (~1.1 ms of the 8 ms step at bs 256). The
     block edge weights route through a VMEM scratch because Mosaic
     cannot dynamically index VALUES by a loop var."""
-    seed_ref = refs[0] if dropout_rate > 0 else None
-    out_ref = refs[-2]
-    w_scr = refs[-1]                                   # (bt, n, K, K) VMEM
+    if dropout_rate > 0:
+        seed_ref, out_ref, w_scr, acc_scr = refs
+    else:
+        seed_ref = acc_scr = None
+        out_ref, w_scr = refs
 
     gws, denom = _gaussians_one(pseudo_ref[:, 0], pseudo_ref[:, 1],
                                 gp_ref, n_kernels)     # n x (bt, K, K)
     w_scr[:] = sel_ref[:][:, None] * (jnp.stack(gws, axis=1)
                                       / denom[:, None])
 
-    def body(s, carry):
-        proj = proj_ref[s]                             # (K, nd)
-        outs = []
-        for n in range(n_kernels):
-            outs.append(jnp.dot(w_scr[s, n], proj[:, n * d:(n + 1) * d],
-                                preferred_element_type=jnp.float32,
-                                precision=_dot_precision(proj.dtype)))
-        # accumulate f32, store in the proj dtype (bf16 in the compute
-        # policy): the step is HBM-bound and the f32 round trip of the
-        # (B, K, nd) output + its downstream converts cost ~200 MB/step
-        acc = _epilogue(jnp.concatenate(outs, axis=-1), s, seed_ref,
-                        relu=relu, dropout_rate=dropout_rate, bt=bt)
-        out_ref[s] = acc.astype(out_ref.dtype)
-        return carry
+    # batched dots over the whole image tile (one dot_general per
+    # kernel); accumulate f32, store in the proj dtype (bf16 in the
+    # compute policy): the step is HBM-bound and the f32 round trip of
+    # the (B, K, nd) output + its downstream converts cost ~200 MB/step
+    acc = _tile_aggregate(w_scr[:], proj_ref[:], n_kernels, d)
+    if relu or dropout_rate > 0:
+        acc = jnp.maximum(acc, 0.0)
+    if dropout_rate > 0:
+        # PRNG seeding is per image (deterministic under batch
+        # re-slicing): loop only the dropout draw, from an f32 scratch
+        # so the inverted scale rounds ONCE on the store
+        acc_scr[:] = acc
 
-    jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+        def body(s, carry):
+            out_ref[s] = _epilogue(
+                acc_scr[s], s, seed_ref, relu=False,
+                dropout_rate=dropout_rate, bt=bt).astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+    else:
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
@@ -167,9 +190,11 @@ def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
     Same block-vectorized structure as _kernel; the residual refs double
     as the block stores (ghat_ref is written once per grid step and read
     back per image inside the dot loop)."""
-    seed_ref = refs[0] if dropout_rate > 0 else None
-    out_ref, ghat_ref, denom_ref = refs[-4:-1]
-    w_scr = refs[-1]                                   # (bt, n, K, K) VMEM
+    if dropout_rate > 0:
+        seed_ref, out_ref, ghat_ref, denom_ref, w_scr, acc_scr = refs
+    else:
+        seed_ref = acc_scr = None
+        out_ref, ghat_ref, denom_ref, w_scr = refs
 
     gws, denom = _gaussians_one(pseudo_ref[:, 0], pseudo_ref[:, 1],
                                 gp_ref, n_kernels)
@@ -178,19 +203,21 @@ def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
     ghat_ref[:] = ghat
     w_scr[:] = sel_ref[:][:, None] * ghat
 
-    def body(s, carry):
-        proj = proj_ref[s]
-        outs = []
-        for n in range(n_kernels):
-            outs.append(jnp.dot(w_scr[s, n], proj[:, n * d:(n + 1) * d],
-                                preferred_element_type=jnp.float32,
-                                precision=_dot_precision(proj.dtype)))
-        acc = _epilogue(jnp.concatenate(outs, axis=-1), s, seed_ref,
-                        relu=relu, dropout_rate=dropout_rate, bt=bt)
-        out_ref[s] = acc.astype(out_ref.dtype)
-        return carry
+    acc = _tile_aggregate(w_scr[:], proj_ref[:], n_kernels, d)
+    if relu or dropout_rate > 0:
+        acc = jnp.maximum(acc, 0.0)
+    if dropout_rate > 0:
+        acc_scr[:] = acc
 
-    jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+        def body(s, carry):
+            out_ref[s] = _epilogue(
+                acc_scr[s], s, seed_ref, relu=False,
+                dropout_rate=dropout_rate, bt=bt).astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+    else:
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
@@ -237,29 +264,31 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
     g_scr[:] = g_all
     w_scr[:] = sel_ref[:][:, None] * ghat_ref[:]       # (bt, n, K, K)
 
-    # phase 1 (per image): ONLY the MXU dots — everything else runs on
-    # whole-tile tensors (the old per-image/per-kernel structure spent
-    # more on VPU op dispatch than on math; round-3 profile attack)
-    def body(s, carry):
-        g = g_scr[s]                                   # (K, nd) f32
-        proj = proj_ref[s]
-        dprojs = []
-        for n in range(n_kernels):
-            g_n = g[:, n * d:(n + 1) * d]
-            p_n = proj[:, n * d:(n + 1) * d]
-            dprojs.append(jnp.dot(w_scr[s, n].T, g_n,
-                                  preferred_element_type=jnp.float32,
-                                  precision=_dot_precision(proj.dtype)))
-            ge_scr[s, n] = jnp.dot(g_n, p_n.T,
-                                   preferred_element_type=jnp.float32,
-                                   precision=_dot_precision(proj.dtype))
-        # computed in f32, stored in proj's dtype (mirrors the forward's
-        # out_ref store; saves the downstream XLA convert + f32 copy)
-        dproj_ref[s] = jnp.concatenate(dprojs, axis=-1
-                                       ).astype(dproj_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, bt, body, 0, unroll=False)
+    # phase 1: the MXU dots, batched over the image tile via dot_general
+    # batch dims (per-kernel python loop, whole-tile batched dot per
+    # kernel — 2*n_kernels dots per grid step instead of 2*n*bt)
+    prec = _dot_precision(proj_ref.dtype)
+    g_all = g_scr[:]                                   # (bt, K, nd) f32
+    w_all = w_scr[:]                                   # (bt, n, K, K)
+    proj_all = proj_ref[:]
+    dprojs = []
+    for n in range(n_kernels):
+        g_n = g_all[:, :, n * d:(n + 1) * d]           # (bt, K, d)
+        p_n = proj_all[:, :, n * d:(n + 1) * d]
+        dprojs.append(jax.lax.dot_general(
+            w_all[:, n], g_n, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec))                           # (bt, K, d)
+        # lax.dot_general needs matching dtypes; widening bf16 proj is
+        # exact and matches jnp.dot's implicit promotion on the old path
+        ge_scr[:, n] = jax.lax.dot_general(
+            g_n, p_n.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec)                            # (bt, K, K)
+    # computed in f32, stored in proj's dtype (mirrors the forward's
+    # out_ref store; saves the downstream XLA convert + f32 copy)
+    dproj_ref[:] = jnp.concatenate(dprojs, axis=-1
+                                   ).astype(dproj_ref.dtype)
 
     # phase 2 (block-vectorized): d(edge weight) back through the
     # kernel-axis normalization and the gaussians to pseudo + gparams
@@ -343,7 +372,10 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
                                      memory_space=pltpu.SMEM))
         args.append(seeds.astype(jnp.int32))
     ep = dict(relu=relu, dropout_rate=dropout_rate)
-    w_scratch = pltpu.VMEM((bt, n_kernels, k, k), jnp.float32)
+    scratch = [pltpu.VMEM((bt, n_kernels, k, k), jnp.float32)]
+    if dropout_rate > 0:
+        # f32 staging for the per-image dropout loop (single rounding)
+        scratch.append(pltpu.VMEM((bt, k, nd), jnp.float32))
     if not save_residuals:
         kern = functools.partial(_kernel, n_kernels=n_kernels, d=d,
                                  bt=bt, **ep)
@@ -354,7 +386,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
             out_specs=pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, k, nd), proj.dtype),
-            scratch_shapes=[w_scratch],
+            scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
         )(*args)
@@ -378,7 +410,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
             jax.ShapeDtypeStruct((b, n_kernels, k, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k, k), jnp.float32),
         ],
-        scratch_shapes=[w_scratch],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
