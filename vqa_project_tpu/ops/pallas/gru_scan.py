@@ -19,7 +19,14 @@ the backward is a hand-derived reverse-time sweep over the saved hs —
 no forward recompute. Two implementations exist: the default XLA scan
 (_bwd_xla_reference) and a Pallas reverse-sweep kernel
 (VQAX_PALLAS_GRU_BWD=1; numerically identical, measured slower on v5e
-because the per-step dhp HBM writes dominate). Gradient equations:
+TWICE: the round-2 version lost to per-step dhp HBM writes; the
+round-3 version accumulates dW/db in VMEM scratch across the sweep
+and streams dxp in the weight dtype — the exact VERDICT-r2 item-1a
+design — and STILL measured 32.3-35.6k vs 36.7k qa/s end-to-end.
+XLA's scan overlaps its per-step matmuls with the rest of the step's
+op stream; a single serialized kernel cannot, and the GRU backward is
+compute-dense enough that overlap wins. Kept for call-count-bound
+regimes). Gradient equations:
 
     hp = h_prev @ Wt + b,  r = s(xr+hr), z = s(xz+hz), n = tanh(xn + r*hn)
     h = (1-z)*n + z*h_prev,  h_out = keep ? h : h_prev
@@ -74,14 +81,15 @@ def _gru_kernel(qlen_ref, xp_ref, w_ref, b_ref,
         hfinal_ref[:] = h_out
 
 
-def _batch_tile(bsz: int, row_bytes: int, fixed_bytes: int) -> int:
+def _batch_tile(bsz: int, row_bytes: int, fixed_bytes: int,
+                budget: int = 13 * 1024 * 1024) -> int:
     """Largest batch tile (divisor of bsz, multiple of 8 unless equal to
     bsz — the Mosaic sublane constraint) fitting the VMEM budget.
 
     row_bytes: per-batch-row VMEM cost of all streamed/scratch buffers
     (double-buffering included by the caller); fixed_bytes: resident
-    weights/bias."""
-    budget = 13 * 1024 * 1024  # 16 MB VMEM minus compiler slack
+    weights/bias. Default budget: 16 MB scoped VMEM minus compiler
+    slack (callers raising vmem_limit_bytes pass a bigger budget)."""
     for bt in range(min(bsz, 256), 0, -1):
         if bsz % bt:
             continue
@@ -133,13 +141,16 @@ def _pallas_forward(xp, w_t, b, qlen, interpret):
 
 
 def _gru_bwd_kernel(qlen_ref, xp_ref, hprev_ref, w_ref, b_ref, ghf_ref,
-                    dxp_ref, dhp_ref, gh_scr, *, n_t: int):
+                    dxp_ref, dw_ref, db_ref, gh_scr, dw_scr, db_scr,
+                    *, n_t: int):
     i = pl.program_id(1)                 # reverse sweep: t = T-1-i
     t = n_t - 1 - i
 
     @pl.when(i == 0)
     def _():
         gh_scr[:] = ghf_ref[:]
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
 
     gh = gh_scr[:]
     xp_t = xp_ref[0]
@@ -165,8 +176,19 @@ def _gru_bwd_kernel(qlen_ref, xp_ref, hprev_ref, w_ref, b_ref, ghf_ref,
     dr_pre = dr * r * (1.0 - r)
     dz_pre = dz * z * (1.0 - z)
     dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-    dxp_ref[0] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-    dhp_ref[0] = dhp
+    # dxp leaves in the weights' dtype (bf16 under the bf16 policy):
+    # its only consumer is the bf16 W_ih VJP einsum — the f32 HBM
+    # round trip was half of why the round-2 kernel lost its A/B
+    dxp_ref[0] = jnp.concatenate([dr_pre, dz_pre, dn_pre],
+                                 axis=-1).astype(dxp_ref.dtype)
+    # dW/db accumulate in VMEM across the whole reverse sweep (the
+    # round-2 kernel wrote per-step dhp to HBM and reduced in XLA —
+    # ~150 MB of extra traffic at B=256; VERDICT r2 item 1a) and spill
+    # once per batch tile.
+    dw_scr[:] = dw_scr[:] + jax.lax.dot_general(
+        h_prev, dhp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (H, 3H)
+    db_scr[:] = db_scr[:] + jnp.sum(dhp, axis=0, keepdims=True)
     # dh_prev: contract dhp's 3H axis against w's 3H axis (no transpose
     # materialized — the MXU takes either contraction)
     gh_scr[:] = (
@@ -176,17 +198,25 @@ def _gru_bwd_kernel(qlen_ref, xp_ref, hprev_ref, w_ref, b_ref, ghf_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))
 
+    @pl.when(i == n_t - 1)
+    def _():
+        dw_ref[0] = dw_scr[:]
+        db_ref[0] = db_scr[:]
+
 
 def _pallas_backward(xp, w_t, b, qlen, hs, gh_final, interpret):
-    """Reverse-time Pallas sweep producing dxp and the per-step dhp;
-    the weight/bias gradients reduce over (T, B) in XLA afterwards (one
-    big MXU matmul)."""
+    """Reverse-time Pallas sweep: dxp streams out (in the weight dtype),
+    dW/db accumulate in VMEM scratch across the sweep and spill once per
+    batch tile (tile partials summed in XLA)."""
     t, bsz, h3 = xp.shape
     h = h3 // 3
-    # streamed per row: xp + dxp + dhp (f32, double-buffered) + h_prev x2
-    # + gh scratch + ghf
-    bt = _batch_tile(bsz, row_bytes=h3 * 24 + h * 16,
-                     fixed_bytes=h * h3 * jnp.dtype(w_t.dtype).itemsize)
+    # streamed per row: xp x2 + h_prev x2 (f32) + dxp x2 (w dtype) +
+    # gh scratch + ghf; resident: weights + the (H, 3H) f32 dW
+    # accumulator (+ its output block)
+    wbytes = jnp.dtype(w_t.dtype).itemsize
+    bt = _batch_tile(bsz, row_bytes=h3 * 16 + h3 * 2 * wbytes + h * 16,
+                     fixed_bytes=h * h3 * (wbytes + 8) + h * h3 * 4,
+                     budget=56 * 1024 * 1024)
     nbt = bsz // bt
     h_prevs = jnp.concatenate(
         [jnp.zeros((1, bsz, h), jnp.float32), hs[:-1]], axis=0)
@@ -194,7 +224,7 @@ def _pallas_backward(xp, w_t, b, qlen, hs, gh_final, interpret):
     b2 = b.reshape(1, h3).astype(jnp.float32)
 
     kern = functools.partial(_gru_bwd_kernel, n_t=t)
-    dxp, dhp = pl.pallas_call(
+    dxp, dw_part, db_part = pl.pallas_call(
         kern,
         grid=(nbt, t),
         in_specs=[
@@ -214,22 +244,28 @@ def _pallas_backward(xp, w_t, b, qlen, hs, gh_final, interpret):
         out_specs=[
             pl.BlockSpec((1, bt, h3), lambda j, i: (t - 1 - i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, h3), lambda j, i: (t - 1 - i, j, 0),
+            pl.BlockSpec((1, h, h3), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h3), lambda j, i: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, bsz, h3), jnp.float32),
-            jax.ShapeDtypeStruct((t, bsz, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, bsz, h3), w_t.dtype),
+            jax.ShapeDtypeStruct((nbt, h, h3), jnp.float32),
+            jax.ShapeDtypeStruct((nbt, 1, h3), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32),
+                        pltpu.VMEM((h, h3), jnp.float32),
+                        pltpu.VMEM((1, h3), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qlen2, xp.astype(jnp.float32), h_prevs, w_t, b2,
       gh_final.astype(jnp.float32))
 
-    dw = jnp.einsum("tbh,tbg->hg", h_prevs, dhp,
-                    preferred_element_type=jnp.float32)
-    db = jnp.sum(dhp, axis=(0, 1))
-    return dxp, dw, db
+    dw = jnp.sum(dw_part, axis=0)
+    db = jnp.sum(db_part, axis=(0, 1))
+    return dxp.astype(jnp.float32), dw, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
