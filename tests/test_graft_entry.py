@@ -22,6 +22,12 @@ def _clean_env():
     env["XLA_FLAGS"] = " ".join(
         f for f in flags.split()
         if "xla_force_host_platform_device_count" not in f)
+    # Skip the axon-tunnel PJRT registration in the subprocess (the
+    # image's sitecustomize dials the relay at interpreter boot when
+    # this is set, and wedges forever if the tunnel is down). The dry
+    # run under test is virtual-CPU by contract, so the tests must not
+    # depend on tunnel health.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return env
 
 
@@ -37,11 +43,18 @@ def test_dryrun_multichip_self_provisions():
 
 def test_dryrun_multichip_after_backend_init():
     # Driver variants may touch jax.devices() first; clear_backends path.
+    # Pin the platform to cpu (as the driver does): with it unset, the
+    # eager jax.devices() would initialize the axon TPU backend and the
+    # test would hang whenever the tunnel is down — an environmental
+    # failure, not a contract one. The default 1-device cpu backend still
+    # forces dryrun through the clear_backends re-provision path.
+    env = _clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.devices();"
          "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
-        cwd=REPO, env=_clean_env(), capture_output=True, text=True,
+        cwd=REPO, env=env, capture_output=True, text=True,
         timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8): ok" in proc.stdout
