@@ -166,6 +166,13 @@ def test_pallas_gru_bwd_kernel_via_env(rng, monkeypatch):
     test_pallas_gru_gradients_match(rng)
 
 
+def test_gru_bwd_carry_formulation_matches(rng, monkeypatch):
+    """VQAX_GRU_BWD=carry (dw accumulated in the scan carry, the old
+    formulation) matches the default hoisted-einsum dw/db exactly."""
+    monkeypatch.setenv("VQAX_GRU_BWD", "carry")
+    test_pallas_gru_gradients_match(rng)
+
+
 def test_gather_rows_matches_take(rng):
     from vqa_project_tpu.ops.pallas.gather_rows import gather_rows
 

@@ -308,13 +308,25 @@ def _bwd(interpret, res, gh_final):
 
 def _bwd_xla_reference(res, gh_final):
     """XLA reverse-scan backward over the saved hidden states (default;
-    also the oracle for the Pallas backward kernel)."""
+    also the oracle for the Pallas backward kernel).
+
+    The weight/bias gradients are HOISTED out of the scan: the loop
+    emits the per-step hidden-side pre-activation cotangent dhp and a
+    single post-scan (T*B, H)x(T*B, 3H) einsum reduces it against
+    h_prevs. Carrying dw inside the scan (the obvious formulation)
+    round-trips a (H, 3H) f32 accumulator through the loop every step
+    — ~25 MB/step of HBM traffic at H=1024 vs ~3 MB/step for the
+    stacked dhp rows. Set VQAX_GRU_BWD=carry for the old formulation
+    (kept for A/B)."""
+    import os
+
     xp, w_t, b, qlen, hs = res
     t, bsz, h3 = xp.shape
     h = h3 // 3
     w32 = w_t.astype(jnp.float32)
     b32 = b.astype(jnp.float32).reshape(1, h3)
     qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
+    carry_dw = os.environ.get("VQAX_GRU_BWD") == "carry"
 
     # h_prev at step t is hs[t-1] (zeros at t=0)
     h_prevs = jnp.concatenate(
@@ -322,7 +334,10 @@ def _bwd_xla_reference(res, gh_final):
     t_ids = jnp.arange(t, dtype=jnp.int32)
 
     def step(carry, inputs):
-        gh, dw, db = carry
+        if carry_dw:
+            gh, dw, db = carry
+        else:
+            gh = carry
         xp_t, h_prev, t_idx = inputs
         hp = jnp.dot(h_prev, w32,
                      preferred_element_type=jnp.float32) + b32
@@ -349,17 +364,27 @@ def _bwd_xla_reference(res, gh_final):
         dh_prev = (passthrough + g_new * z
                    + jnp.dot(dhp, w32.T,
                              preferred_element_type=jnp.float32))
-        dw = dw + jnp.dot(h_prev.T, dhp,
-                          preferred_element_type=jnp.float32)
-        db = db + jnp.sum(dhp, axis=0)
-        return (dh_prev, dw, db), dxp_t
+        if carry_dw:
+            dw = dw + jnp.dot(h_prev.T, dhp,
+                              preferred_element_type=jnp.float32)
+            db = db + jnp.sum(dhp, axis=0)
+            return (dh_prev, dw, db), dxp_t
+        return dh_prev, (dxp_t, dhp)
 
-    init = (gh_final.astype(jnp.float32),
-            jnp.zeros((h, h3), jnp.float32),
-            jnp.zeros((h3,), jnp.float32))
-    (dh0, dw, db), dxp = jax.lax.scan(
-        step, init, (xp.astype(jnp.float32), h_prevs, t_ids),
-        reverse=True)
+    if carry_dw:
+        init = (gh_final.astype(jnp.float32),
+                jnp.zeros((h, h3), jnp.float32),
+                jnp.zeros((h3,), jnp.float32))
+        (dh0, dw, db), dxp = jax.lax.scan(
+            step, init, (xp.astype(jnp.float32), h_prevs, t_ids),
+            reverse=True)
+    else:
+        dh0, (dxp, dhps) = jax.lax.scan(
+            step, gh_final.astype(jnp.float32),
+            (xp.astype(jnp.float32), h_prevs, t_ids), reverse=True)
+        dw = jnp.einsum("tbh,tbg->hg", h_prevs, dhps,
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(dhps, axis=(0, 1))
     del dh0  # initial state is a constant zero
     dqlen = np.zeros(qlen.shape, dtype=jax.dtypes.float0)
     return dxp, dw.astype(w_t.dtype), db.astype(b.dtype), dqlen
