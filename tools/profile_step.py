@@ -65,8 +65,19 @@ def capture(args) -> str:
     sample = next(iter(Batcher(ds, args.bsize)))
     state = create_train_state(model, mcfg, tx, sample, seed=0)
     state = replicate(state, mesh)
-    step = build_train_step(model, tx, mesh, feature_cache=cache,
-                            n_answers=ds.n_answers)
+    if args.mode == "eval":
+        from vqa_project_tpu.train.steps import build_eval_step
+
+        eval_step = build_eval_step(model, mesh, feature_cache=cache,
+                                    n_answers=ds.n_answers)
+        params = state.params
+
+        def step(st, batch):
+            _, score, _ = eval_step(params, batch)
+            return st, {"loss": score}
+    else:
+        step = build_train_step(model, tx, mesh, feature_cache=cache,
+                                n_answers=ds.n_answers)
     loader = Batcher(ds, args.bsize, shuffle=True, drop_last=True,
                      materialize=cache is None)
     batch = shard_batch(pack_index_batch(next(iter(loader))), mesh)
@@ -121,6 +132,7 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--mode", default="train", choices=["train", "eval"])
     ap.add_argument("--logdir", default="/tmp/vqax_prof")
     ap.add_argument("--parse_only", default=None,
                     help="skip capture; parse this xplane.pb")
