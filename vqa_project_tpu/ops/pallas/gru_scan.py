@@ -323,6 +323,7 @@ def _bwd_xla_reference(res, gh_final):
     xp, w_t, b, qlen, hs = res
     t, bsz, h3 = xp.shape
     h = h3 // 3
+    wd = w_t.dtype  # backward dots in the weight dtype, like the forward
     w32 = w_t.astype(jnp.float32)
     b32 = b.astype(jnp.float32).reshape(1, h3)
     qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
@@ -339,7 +340,11 @@ def _bwd_xla_reference(res, gh_final):
         else:
             gh = carry
         xp_t, h_prev, t_idx = inputs
-        hp = jnp.dot(h_prev, w32,
+        # Recompute hp with the SAME dot dtype the forward kernel used
+        # (h_prev cast to the weight dtype, f32 accumulate): bit-for-bit
+        # the gate values the forward actually produced, and no f32
+        # upcast of a bf16 weight matrix on the MXU.
+        hp = jnp.dot(h_prev.astype(wd), w_t,
                      preferred_element_type=jnp.float32) + b32
         xr, xz, xn = xp_t[:, :h], xp_t[:, h:2 * h], xp_t[:, 2 * h:]
         hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
@@ -362,14 +367,17 @@ def _bwd_xla_reference(res, gh_final):
         dxp_t = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
 
         dh_prev = (passthrough + g_new * z
-                   + jnp.dot(dhp, w32.T,
+                   + jnp.dot(dhp.astype(wd), w_t.T,
                              preferred_element_type=jnp.float32))
         if carry_dw:
             dw = dw + jnp.dot(h_prev.T, dhp,
                               preferred_element_type=jnp.float32)
             db = db + jnp.sum(dhp, axis=0)
             return (dh_prev, dw, db), dxp_t
-        return dh_prev, (dxp_t, dhp)
+        # Stack dhp in the weight dtype: halves the stacked-rows HBM
+        # traffic under bf16; dw still accumulates in f32 via the
+        # post-scan einsum's preferred_element_type.
+        return dh_prev, (dxp_t, dhp.astype(wd))
 
     if carry_dw:
         init = (gh_final.astype(jnp.float32),
@@ -382,9 +390,9 @@ def _bwd_xla_reference(res, gh_final):
         dh0, (dxp, dhps) = jax.lax.scan(
             step, gh_final.astype(jnp.float32),
             (xp.astype(jnp.float32), h_prevs, t_ids), reverse=True)
-        dw = jnp.einsum("tbh,tbg->hg", h_prevs, dhps,
+        dw = jnp.einsum("tbh,tbg->hg", h_prevs.astype(wd), dhps,
                         preferred_element_type=jnp.float32)
-        db = jnp.sum(dhps, axis=(0, 1))
+        db = jnp.sum(dhps.astype(jnp.float32), axis=(0, 1))
     del dh0  # initial state is a constant zero
     dqlen = np.zeros(qlen.shape, dtype=jax.dtypes.float0)
     return dxp, dw.astype(w_t.dtype), db.astype(b.dtype), dqlen
