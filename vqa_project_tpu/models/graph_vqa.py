@@ -75,9 +75,24 @@ class WeightNormDense(nn.Module):
     out_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 shared: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Apply y = (concat([x, shared_broadcast]) @ (g*v/||v||)) + b.
+
+        `shared` is an optional (B, D2) input logically broadcast over
+        x's middle (node) axis — i.e. the layer behaves exactly as if
+        concat([x, broadcast(shared)], -1) of width d1+D2 were passed,
+        with v of shape (d1+D2, features). The dot is SPLIT instead:
+        the shared half runs once per image ((B, D2) rows) rather than
+        once per node ((B*K, D2) rows), and the (B, K, d1+D2) concat is
+        never materialized — at the VQA dims that deletes a third of
+        the edge_layer_1 FLOPs and a ~57 MB/step intermediate. The
+        parameter layout (one fused v) is unchanged, so checkpoints
+        and the torch importer are unaffected.
+        """
         out_dtype = self.out_dtype or self.compute_dtype
-        in_dim = x.shape[-1]
+        in_dim = x.shape[-1] + (shared.shape[-1] if shared is not None
+                                else 0)
         v = self.param("v", _torch_linear_init(in_dim), (in_dim, self.features))
 
         # g must equal ||v|| at init (torch weight_norm); the init fn
@@ -96,11 +111,19 @@ class WeightNormDense(nn.Module):
         # (in, out) scaled-weight tensor (36 MB at out_2) never exists —
         # the scale runs over the (B, out) activations instead, and the
         # backward's dv comes straight from the matmul VJP.
+        d1 = x.shape[-1]
         y = jnp.dot(
             x.astype(self.compute_dtype),
-            v.astype(self.compute_dtype),
+            v[:d1].astype(self.compute_dtype),
             preferred_element_type=jnp.float32,
         )
+        if shared is not None:
+            ys = jnp.dot(
+                shared.astype(self.compute_dtype),
+                v[d1:].astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )                                         # (B, features)
+            y = y + ys[:, None, :]
         y = (y * scale[None, :]).astype(out_dtype)
         if self.use_bias:
             b = self.param("b", _torch_linear_init(in_dim), (self.features,))
@@ -119,9 +142,10 @@ class GraphLearner(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, graph_nodes: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, graph_nodes: jnp.ndarray,
+                 shared: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = WeightNormDense(self.combined_dim, compute_dtype=self.compute_dtype,
-                            name="edge_layer_1")(graph_nodes)
+                            name="edge_layer_1")(graph_nodes, shared=shared)
         h = nn.relu(h)
         h = WeightNormDense(self.combined_dim, compute_dtype=self.compute_dtype,
                             name="edge_layer_2")(h)
@@ -333,15 +357,16 @@ class GraphVQAModel(nn.Module):
             qenc = gru_encode(emb, qlen, w_ih, w_hh, b_ih, b_hh,
                               compute_dtype=cdt)          # (B, H)
 
-        # --- question-conditioned adjacency (nodes in compute dtype:
-        #     (B, K, 3076) fp32 alone is ~113 MB/step at batch 256) ---
-        k = image.shape[1]
-        qenc_rep = jnp.broadcast_to(
-            qenc.astype(cdt)[:, None, :], (qenc.shape[0], k, h))
-        nodes = jnp.concatenate([image, qenc_rep], axis=-1)  # (B, K, F+H)
+        # --- question-conditioned adjacency. The reference concatenates
+        #     the broadcast question encoding onto every node
+        #     (sparse_graph_model.py: cat -> GraphLearner); here the
+        #     broadcast half of edge_layer_1's matmul runs once per
+        #     image via the split-dot `shared=` path (exact same math,
+        #     same fused v parameter) and the (B, K, F+H) concat —
+        #     ~57 MB/step in bf16 at batch 256 — never exists. ---
         adjacency = GraphLearner(
             cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
-        )(nodes)                                         # (B, K, K)
+        )(image, shared=qenc.astype(cdt))                # (B, K, K)
 
         # --- shared neighbourhood selection (dense masked form); both
         #     paths compute it here ONCE — the fused Pallas kernels
