@@ -127,3 +127,19 @@ def test_overfit_one_batch(rng):
         if first is None:
             first = float(loss)
     assert float(loss) < 0.05 * first, (first, float(loss))
+
+
+def test_split_shared_matches_concat_formulation(model_and_params, rng,
+                                                 monkeypatch):
+    """The split-dot GraphLearner path (default) and the reference's
+    concat formulation (VQAX_SPLIT_SHARED=0) produce the same logits and
+    adjacency from the SAME parameters."""
+    model, params = model_and_params
+    batch = make_batch(rng)
+    logits_a, adj_a, _ = model.apply(params, *batch)
+    monkeypatch.setenv("VQAX_SPLIT_SHARED", "0")
+    logits_b, adj_b, _ = model.apply(params, *batch)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(adj_a), np.asarray(adj_b),
+                               rtol=1e-5, atol=1e-5)

@@ -363,10 +363,19 @@ class GraphVQAModel(nn.Module):
         #     broadcast half of edge_layer_1's matmul runs once per
         #     image via the split-dot `shared=` path (exact same math,
         #     same fused v parameter) and the (B, K, F+H) concat —
-        #     ~57 MB/step in bf16 at batch 256 — never exists. ---
-        adjacency = GraphLearner(
-            cfg.combined_dim, compute_dtype=cdt, name="adjacency_1"
-        )(image, shared=qenc.astype(cdt))                # (B, K, K)
+        #     ~57 MB/step in bf16 at batch 256 — never exists.
+        #     VQAX_SPLIT_SHARED=0 restores the concat formulation (A/B
+        #     knob; both hit the same parameters). ---
+        learner = GraphLearner(
+            cfg.combined_dim, compute_dtype=cdt, name="adjacency_1")
+        if os.environ.get("VQAX_SPLIT_SHARED", "1") == "0":
+            k = image.shape[1]
+            qenc_rep = jnp.broadcast_to(
+                qenc.astype(cdt)[:, None, :], (qenc.shape[0], k, h))
+            nodes = jnp.concatenate([image, qenc_rep], axis=-1)
+            adjacency = learner(nodes)                   # (B, K, K)
+        else:
+            adjacency = learner(image, shared=qenc.astype(cdt))
 
         # --- shared neighbourhood selection (dense masked form); both
         #     paths compute it here ONCE — the fused Pallas kernels
