@@ -189,6 +189,29 @@ def main():
         from __graft_entry__ import _ensure_devices
 
         _ensure_devices(int(n_cpu))
+    elif os.environ.get("BENCH_PROBE", "1") == "1":
+        # Fail fast if the TPU backend can't initialize (a wedged axon
+        # tunnel hangs jax.devices() FOREVER — observed 2026-08-17).
+        # The probe subprocess is killable where the in-process C call
+        # is not; 300 s is far above any healthy init. BENCH_PROBE=0
+        # skips it.
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300, check=True)
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "error",
+                "value": 0,
+                "unit": "backend-init-failed",
+                "vs_baseline": 0,
+                "error": f"TPU backend init failed/hung: {type(e).__name__}",
+            }))
+            sys.exit(1)
     import jax
 
     from vqa_project_tpu.utils import enable_compilation_cache
