@@ -118,6 +118,8 @@ class WeightNormDense(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if shared is not None:
+            assert x.ndim == 3 and shared.ndim == 2, (
+                "shared= expects x (B, K, d1) and shared (B, d2)")
             ys = jnp.dot(
                 shared.astype(self.compute_dtype),
                 v[d1:].astype(self.compute_dtype),
