@@ -328,3 +328,37 @@ def test_merged_graph_block_matches_reference(rng):
     for x, y in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_gru_xp_bf16_stream_close(rng, monkeypatch):
+    """VQAX_GRU_XP_BF16=1 streams the hoisted projection in bf16; the
+    result and gradients stay close to the f32-stream path (gate
+    pre-activations are bf16-rounded, so tolerances are loose)."""
+    import jax
+
+    from vqa_project_tpu.ops.pallas import gru_encode_pallas
+
+    b, t, e, h = 3, 6, 8, 12
+    emb = rng.normal(size=(b, t, e)).astype(np.float32)
+    qlen = np.array([6, 2, 4], dtype=np.int32)
+    params = [
+        (rng.normal(size=s) * 0.2).astype(np.float32)
+        for s in [(3 * h, e), (3 * h, h), (3 * h,), (3 * h,)]
+    ]
+    jp = list(map(jnp.asarray, params))
+
+    def loss(emb_, w_ih, w_hh, b_ih, b_hh):
+        out = gru_encode_pallas(emb_, jnp.asarray(qlen), w_ih, w_hh,
+                                b_ih, b_hh, compute_dtype=jnp.bfloat16,
+                                interpret=True)
+        return jnp.sum(out ** 2)
+
+    grad = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+    base = grad(jnp.asarray(emb), *jp)
+    monkeypatch.setenv("VQAX_GRU_XP_BF16", "1")
+    got = grad(jnp.asarray(emb), *jp)
+    np.testing.assert_allclose(float(base[0]), float(got[0]),
+                               rtol=5e-2)
+    for a, b_ in zip(base[1], got[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0.15, atol=0.05)

@@ -103,8 +103,10 @@ def _batch_tile(bsz: int, row_bytes: int, fixed_bytes: int,
 def _pallas_forward(xp, w_t, b, qlen, interpret):
     t, bsz, h3 = xp.shape
     h = h3 // 3
-    # xp block f32 x2 buffers + hs out x2 + scratch + hfinal
-    bt = _batch_tile(bsz, row_bytes=h3 * 8 + h * 16,
+    # xp block x2 buffers (dtype as given: f32, or bf16 under
+    # VQAX_GRU_XP_BF16) + hs out x2 + scratch + hfinal
+    xp_bytes = jnp.dtype(xp.dtype).itemsize * 2
+    bt = _batch_tile(bsz, row_bytes=h3 * xp_bytes + h * 16,
                      fixed_bytes=h * h3 * jnp.dtype(w_t.dtype).itemsize)
     nbt = bsz // bt
     qlen2 = qlen.reshape(bsz, 1).astype(jnp.int32)
@@ -137,7 +139,7 @@ def _pallas_forward(xp, w_t, b, qlen, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
         interpret=interpret,
-    )(qlen2, xp.astype(jnp.float32), w_t, b2)
+    )(qlen2, xp, w_t, b2)  # xp streams in its own dtype (f32 or bf16)
 
 
 def _gru_bwd_kernel(qlen_ref, xp_ref, hprev_ref, w_ref, b_ref, ghf_ref,
@@ -419,5 +421,14 @@ def gru_encode_pallas(emb, qlen, w_ih, w_hh, b_ih, b_hh, *,
         + b_ih.astype(jnp.float32)
     )
     xp = jnp.swapaxes(xp, 0, 1)                     # (T, B, 3H)
+    # VQAX_GRU_XP_BF16=1 stores/streams the hoisted projection in the
+    # compute dtype instead of f32 — the (T, B, 3H) tensor is ~50 MB at
+    # bench dims and crosses HBM three times (write, fwd read, bwd
+    # read). Off by default: it rounds the gate PRE-ACTIVATIONS to
+    # bf16, which needs on-chip convergence evidence before shipping.
+    import os
+
+    if os.environ.get("VQAX_GRU_XP_BF16") == "1":
+        xp = xp.astype(compute_dtype)
     w_t = jnp.swapaxes(w_hh, 0, 1).astype(compute_dtype)
     return pallas_gru(xp, w_t, b_hh, qlen.astype(jnp.int32), interpret)
