@@ -424,8 +424,10 @@ def gru_encode_pallas(emb, qlen, w_ih, w_hh, b_ih, b_hh, *,
     # VQAX_GRU_XP_BF16=1 stores/streams the hoisted projection in the
     # compute dtype instead of f32 — the (T, B, 3H) tensor is ~50 MB at
     # bench dims and crosses HBM three times (write, fwd read, bwd
-    # read). Off by default: it rounds the gate PRE-ACTIVATIONS to
-    # bf16, which needs on-chip convergence evidence before shipping.
+    # read). Off by default: the interleaved on-chip A/B measured a
+    # WASH (4 pairs, B/A median 0.996, ratios 0.988-1.005 — the saved
+    # bytes hide behind other pipeline stages), and it rounds the gate
+    # PRE-ACTIVATIONS to bf16, a numerics cost with no measured payoff.
     import os
 
     if os.environ.get("VQAX_GRU_XP_BF16") == "1":

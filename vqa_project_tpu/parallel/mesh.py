@@ -54,6 +54,14 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    (A VQAX_EMB_ROWMAJOR variant that committed the wembed leaves with
+    an explicit row-major Format here was tried and was a no-op: jit
+    relayouts committed inputs to its auto-chosen entry layout instead
+    of specializing on them — the on-chip profile showed the entry
+    layouts and the Adam relayout copies unchanged. The working lever
+    is constraining the embedding GRADIENT's layout inside the step;
+    see train/steps.py VQAX_EMB_GRAD_COLMAJOR.)"""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
