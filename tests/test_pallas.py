@@ -60,6 +60,37 @@ def test_custom_vjp_matches_reference_grads(rng):
                                    rtol=2e-3, atol=1e-4)
 
 
+def test_kbf_boundary_matches_reference(rng, monkeypatch):
+    """VQAX_KBF=1 transposes the proj/cotangent operands at the Pallas
+    boundary to (K, B, nd) — a bitcast of the layout XLA's projection
+    GEMMs already emit — and un-transposes in VMEM. Forward and all
+    gradients must match the XLA reference exactly as the default
+    boundary does."""
+    monkeypatch.setenv("VQAX_KBF", "1")
+    adj, pseudo, proj, gparams = _inputs(rng)
+    got = np.asarray(fused_edge_aggregate(
+        adj, pseudo, proj, gparams, M, True, True))
+    want = np.asarray(edge_aggregate_reference(
+        adj, pseudo, proj, gparams, m=M, use_alpha=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_fused(a, p, pr, gp):
+        return jnp.sum(fused_edge_aggregate(a, p, pr, gp, M, True, True)
+                       ** 2)
+
+    def loss_ref(a, p, pr, gp):
+        return jnp.sum(edge_aggregate_reference(
+            a, p, pr, gp, m=M, use_alpha=True) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+        adj, pseudo, proj, gparams)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        adj, pseudo, proj, gparams)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=1e-4)
+
+
 def test_model_pallas_matches_xla(rng):
     """Full model forward with use_pallas=True (interpret) equals the
     XLA path bit-for-bit in semantics (small tolerance for fp order)."""

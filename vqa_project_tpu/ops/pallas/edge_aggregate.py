@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -65,6 +67,52 @@ def _pick_bt(b: int, target: int = 8) -> int:
     while b % bt:
         bt -= 1
     return bt
+
+
+def _kbf() -> bool:
+    """VQAX_KBF=1: the (B, K, nd) proj / cotangent operands cross the
+    Pallas boundary TRANSPOSED to (K, B, nd).
+
+    Why: XLA lays the surrounding projection GEMMs' (B, K, nd) outputs
+    out as {2,0,1} — physically (K, B, nd) — while pallas_call demands
+    default (row-major) operand layouts, so every GEMM->kernel edge pays
+    a full HBM relayout copy (measured 86+59+134 us plus a 63 us spill
+    at bs 256, ~5% of the step). Transposing the OPERAND instead makes
+    the boundary a pure bitcast of the layout XLA already prefers; the
+    kernel un-transposes per grid step in VMEM (jnp.swapaxes of a
+    (K, bt, nd) block), which rides VMEM bandwidth instead of HBM.
+
+    MEASURED NEGATIVE (kept for the record, default off): the optimized
+    HLO confirms the relayout copies disappear (-113 MB/step), but the
+    interleaved on-chip A/B ran ~8-15% SLOWER (clean pairwise ratios
+    0.85/0.92 at bs 256) — Mosaic lowers the (K, bt, nd)->(bt, K, nd)
+    swapaxes as a sublane shuffle across tiles that costs more than the
+    HBM copies it saves, and it cannot be avoided with dot dimension
+    numbers: tpu.matmul rejects a batch dim in the middle of an operand
+    (probed on-chip, mosaic compile error).
+
+    (The third angle — with_layout_constraint pinning the operands
+    row-major AT the producer GEMMs so layout assignment folds the
+    transpose into the GEMM epilogue instead of a standalone copy —
+    was also profiled and was an exact no-op: 6638.0 vs 6638.8 us
+    busy/step, same copies in the op list. XLA already treats the
+    constraint as "insert a copy at the boundary", which is what it
+    does anyway.)"""
+    return os.environ.get("VQAX_KBF", "0") == "1"
+
+
+def _proj_spec(k: int, bt: int, nd: int, kbf: bool):
+    """BlockSpec for a (B, K, nd)-semantics operand, honouring KBF."""
+    if kbf:
+        return pl.BlockSpec((k, bt, nd), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _load_bkn(ref, kbf: bool):
+    """Load a proj-like block as (bt, K, nd) regardless of boundary form."""
+    return jnp.swapaxes(ref[:], 0, 1) if kbf else ref[:]
 
 
 def _gaussians_one(rho, theta, gp_ref, n_kernels: int):
@@ -135,7 +183,7 @@ def _tile_aggregate(w_all, proj_all, n_kernels: int, d: int):
 
 
 def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
-            n_kernels: int, d: int, bt: int,
+            n_kernels: int, d: int, bt: int, kbf: bool = False,
             relu: bool = False, dropout_rate: float = 0.0):
     """Inference forward: bt images per grid step, no residuals.
 
@@ -162,7 +210,8 @@ def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
     # kernel); accumulate f32, store in the proj dtype (bf16 in the
     # compute policy): the step is HBM-bound and the f32 round trip of
     # the (B, K, nd) output + its downstream converts cost ~200 MB/step
-    acc = _tile_aggregate(w_scr[:], proj_ref[:], n_kernels, d)
+    acc = _tile_aggregate(w_scr[:], _load_bkn(proj_ref, kbf),
+                          n_kernels, d)
     if relu or dropout_rate > 0:
         acc = jnp.maximum(acc, 0.0)
     if dropout_rate > 0:
@@ -183,7 +232,7 @@ def _kernel(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
 
 
 def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
-                n_kernels: int, d: int, bt: int,
+                n_kernels: int, d: int, bt: int, kbf: bool = False,
                 relu: bool = False, dropout_rate: float = 0.0):
     """Training forward: also saves (normalized gaussian, denom).
 
@@ -203,7 +252,8 @@ def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
     ghat_ref[:] = ghat
     w_scr[:] = sel_ref[:][:, None] * ghat
 
-    acc = _tile_aggregate(w_scr[:], proj_ref[:], n_kernels, d)
+    acc = _tile_aggregate(w_scr[:], _load_bkn(proj_ref, kbf),
+                          n_kernels, d)
     if relu or dropout_rate > 0:
         acc = jnp.maximum(acc, 0.0)
     if dropout_rate > 0:
@@ -222,7 +272,7 @@ def _kernel_res(sel_ref, pseudo_ref, proj_ref, gp_ref, *refs,
 
 def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
                 proj_ref, gp_ref, *refs,
-                n_kernels: int, d: int, bt: int,
+                n_kernels: int, d: int, bt: int, kbf: bool = False,
                 epilogue: bool = False, inv_keep: float = 1.0):
     """Hand-derived VJP of the fused graph block, fully in VMEM.
 
@@ -253,7 +303,7 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
     # cotangent in HBM before the custom call (263 us at bs 256;
     # bf16->f32 is exact) — apply the activation epilogue, and form the
     # selected edge weights once for the whole tile.
-    g_all = g_ref[:].astype(jnp.float32)               # (bt, K, nd)
+    g_all = _load_bkn(g_ref, kbf).astype(jnp.float32)  # (bt, K, nd)
     if epilogue:
         # out>0 encodes relu AND dropout-keep; dropped/negative
         # units get exactly-zero gradient, kept ones the 1/(1-p)
@@ -270,7 +320,7 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
     prec = _dot_precision(proj_ref.dtype)
     g_all = g_scr[:]                                   # (bt, K, nd) f32
     w_all = w_scr[:]                                   # (bt, n, K, K)
-    proj_all = proj_ref[:]
+    proj_all = _load_bkn(proj_ref, kbf)
     dprojs = []
     for n in range(n_kernels):
         g_n = g_all[:, :, n * d:(n + 1) * d]           # (bt, K, d)
@@ -349,6 +399,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
     nd = proj.shape[-1]
     d = nd // n_kernels
     bt = _pick_bt(b)
+    kbf = _kbf()
     # pseudo arrives (B, K, K, 2); the kernel wants channel-major planes
     pseudo_cm = jnp.moveaxis(pseudo, -1, 1)            # (B, 2, K, K)
 
@@ -357,13 +408,13 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, 2, k, k), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        _proj_spec(k, bt, nd, kbf),
         pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
     args = [sel.astype(jnp.float32), pseudo_cm.astype(jnp.float32),
-            proj, gparams.astype(jnp.float32)]
+            jnp.swapaxes(proj, 0, 1) if kbf else proj,
+            gparams.astype(jnp.float32)]
     if dropout_rate > 0:
         assert seeds is not None, "in-kernel dropout needs per-image seeds"
         # full-array SMEM block (Mosaic only tiles rank-1 blocks at 128
@@ -378,7 +429,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
         scratch.append(pltpu.VMEM((bt, k, nd), jnp.float32))
     if not save_residuals:
         kern = functools.partial(_kernel, n_kernels=n_kernels, d=d,
-                                 bt=bt, **ep)
+                                 bt=bt, kbf=kbf, **ep)
         return pl.pallas_call(
             kern,
             grid=(b // bt,),
@@ -392,7 +443,7 @@ def _pallas_forward(sel, pseudo, proj, gparams, *,
         )(*args)
 
     kern = functools.partial(_kernel_res, n_kernels=n_kernels, d=d,
-                             bt=bt, **ep)
+                             bt=bt, kbf=kbf, **ep)
     return pl.pallas_call(
         kern,
         grid=(b // bt,),
@@ -424,18 +475,18 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
     nd = proj.shape[-1]
     d = nd // n_kernels
     bt = _pick_bt(b)
+    kbf = _kbf()
     epilogue = out is not None
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0 else 1.0
 
     kern = functools.partial(_kernel_bwd, n_kernels=n_kernels, d=d,
-                             bt=bt,
+                             bt=bt, kbf=kbf,
                              epilogue=epilogue, inv_keep=inv_keep)
     dsel, dpseudo_cm, dproj, dgp_part = pl.pallas_call(
         kern,
         grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _proj_spec(k, bt, nd, kbf),
             pl.BlockSpec((bt, k, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, n_kernels, k, k), lambda i: (i, 0, 0, 0),
@@ -444,8 +495,7 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 2, k, k), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _proj_spec(k, bt, nd, kbf),
             pl.BlockSpec((4, n_kernels), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ] + ([pl.BlockSpec((bt, k, nd), lambda i: (i, 0, 0),
@@ -473,8 +523,11 @@ def _pallas_backward(g, sel, ghat, denom, pseudo_cm, proj, gparams, *,
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(g, sel.astype(jnp.float32), ghat, denom,
-      pseudo_cm, proj, gparams.astype(jnp.float32),
+    )(jnp.swapaxes(g, 0, 1) if kbf else g,
+      sel.astype(jnp.float32), ghat, denom,
+      pseudo_cm,
+      jnp.swapaxes(proj, 0, 1) if kbf else proj,
+      gparams.astype(jnp.float32),
       *(() if not epilogue else (out,)))
     dpseudo = jnp.moveaxis(dpseudo_cm, 1, -1)          # (B, K, K, 2)
     dgparams = jnp.sum(dgp_part, axis=0)               # (4, n)
