@@ -80,6 +80,43 @@ def test_dropout_train_vs_eval(model_and_params, rng):
     np.testing.assert_array_equal(np.asarray(eval_logits), np.asarray(again))
 
 
+@pytest.mark.parametrize("width,rate", [(8, 0.5), (8, 0.4), (16, 0.3)])
+def test_narrow_bits_dropout(rng, width, rate):
+    """u8/u16 dropout: kept units carry the exact 1/(1-rate) inverted
+    scale, dropped units are exactly zero, and the empirical keep rate
+    sits within a 5-sigma binomial CI of the quantized probability."""
+    from vqa_project_tpu.ops.dropout import narrow_bits_dropout
+
+    x = jnp.asarray(rng.normal(size=(64, 36, 128)).astype(np.float32))
+    out = np.asarray(narrow_bits_dropout(x, rate, jax.random.key(3),
+                                         width=width))
+    xs = np.asarray(x)
+    kept = out != 0
+    np.testing.assert_allclose(out[kept], xs[kept] / (1.0 - rate),
+                               rtol=1e-6)
+    span = 2 ** width
+    p_keep = 1.0 - round(rate * span) / span
+    n = out.size
+    sigma = np.sqrt(p_keep * (1 - p_keep) / n)
+    assert abs(kept.mean() - p_keep) < 5 * sigma, (kept.mean(), p_keep)
+
+
+def test_narrow_bits_dropout_in_model(model_and_params, rng, monkeypatch):
+    """VQAX_DROPOUT_BITS=8 routes the model's feature dropout through
+    the narrow-bits path: train-mode output differs from eval and stays
+    finite; eval mode is untouched by the knob."""
+    monkeypatch.setenv("VQAX_DROPOUT_BITS", "8")
+    model, params = model_and_params
+    batch = make_batch(rng)
+    eval_logits = model.apply(params, *batch, train=False)[0]
+    train_logits = model.apply(
+        params, *batch, train=True,
+        rngs={"dropout": jax.random.key(7)})[0]
+    assert np.isfinite(np.asarray(train_logits)).all()
+    assert not np.allclose(np.asarray(eval_logits),
+                           np.asarray(train_logits))
+
+
 def test_gradients_flow_to_all_params(model_and_params, rng):
     model, params = model_and_params
     q, image, qlen = make_batch(rng)
