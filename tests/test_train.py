@@ -187,6 +187,23 @@ def test_training_is_deterministic(data_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_emb_grad_layout_pin_is_exact(data_dir, monkeypatch):
+    """VQAX_EMB_GRAD_COLMAJOR=1 (in-step layout constraint on the wembed
+    gradient) is a physical-layout change only: training must produce
+    bit-identical parameters."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    results = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("VQAX_EMB_GRAD_COLMAJOR", knob)
+        tcfg = TrainConfig(lr=1e-3, epochs=2, batch_size=32, seed=1000,
+                           eval_interval=0, log_interval=1000)
+        _, state, _ = fit(tcfg, MODEL_CFG, ds)
+        results.append(jax.device_get(state.params))
+    for a, b in zip(jax.tree.leaves(results[0]),
+                    jax.tree.leaves(results[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_feature_cache_still_learns(data_dir):
     """Storing the device feature table in bfloat16 (half HBM) must not
     break training."""

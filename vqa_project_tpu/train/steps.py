@@ -22,6 +22,7 @@ Ingest modes:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -230,6 +231,30 @@ def build_train_step(model, tx, mesh,
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # VQAX_EMB_GRAD_COLMAJOR=1: constrain the wembed gradient to
+        # column-major. XLA's auto layout assignment carries the wembed
+        # param and its Adam moments through the step column-major
+        # ({0,1}) while the embedding gradient (a scatter over at most
+        # B*T rows) comes out row-major, so every step pays
+        # full-f32[13001,300] relayout copies around the Adam fusion
+        # (measured ~244 us at bs 256: 63+54+53 us moments in/out,
+        # 28 us param, 2x23 us below-cutoff twins). Aligning the ONE
+        # grad tensor with the carried layout lets the whole update
+        # chain run copy-free. (Committing row-major input layouts in
+        # replicate() instead was a no-op — jit relayouts committed
+        # inputs to its auto entry layout.) Default off until A/B'd.
+        if os.environ.get("VQAX_EMB_GRAD_COLMAJOR", "0") == "1":
+            from jax.experimental.layout import Layout, \
+                with_layout_constraint
+
+            def _pin(path, x):
+                if ("wembed" in jax.tree_util.keystr(path)
+                        and getattr(x, "ndim", 0) == 2):
+                    return with_layout_constraint(
+                        x, Layout(tuple(reversed(range(x.ndim)))))
+                return x
+
+            grads = jax.tree_util.tree_map_with_path(_pin, grads)
         score = score_fn(logits, batch["mask"])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
