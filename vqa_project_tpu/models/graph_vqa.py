@@ -321,15 +321,18 @@ class GraphVQAModel(nn.Module):
 
         # --- feature dropout (applied to the full feat||bbox vector,
         #     matching sparse_graph_model.py:111) ---
-        # VQAX_DROPOUT_BITS=8|16 draws the Bernoulli mask from narrow
-        # random bits instead of flax's u32 path: the (B, K, 2052) u32
-        # bits tensor is 75.6 MB/step of HBM traffic at bs 256 (the
-        # select fusion measured 117 us); u8 bits cut that 4x. The keep
-        # rate quantizes to 1/2^width (u8: |err| <= 2^-9, e.g. 0.4 ->
-        # 102/256 = 0.3984) — the inverted scale still uses the exact
-        # configured rate, so kept activations are unchanged and only
-        # the mask frequency carries the quantization. Default: flax.
-        bits_env = os.environ.get("VQAX_DROPOUT_BITS", "32")
+        # VQAX_DROPOUT_BITS=8|16|32 draws the Bernoulli mask from
+        # narrow random bits instead of flax's u32 path: the
+        # (B, K, 2052) u32 bits tensor is 75.6 MB/step of HBM traffic
+        # at bs 256 (the select fusion measured 117 us); u8 bits cut
+        # that 4x. The keep rate quantizes to 1/2^width (u8:
+        # |err| <= 2^-9, e.g. 0.4 -> 102/256 = 0.3984) — the inverted
+        # scale still uses the exact configured rate, so kept
+        # activations are unchanged and only the mask frequency
+        # carries the quantization. Default 8 (op profile: busy 6389
+        # vs 6639 us; fast-mode end-to-end A/B +4.7% together with the
+        # wembed layout pin); 32 restores the stock flax path.
+        bits_env = os.environ.get("VQAX_DROPOUT_BITS", "8")
         if train and cfg.dropout > 0 and bits_env in ("8", "16"):
             from vqa_project_tpu.ops.dropout import narrow_bits_dropout
 

@@ -231,19 +231,22 @@ def build_train_step(model, tx, mesh,
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        # VQAX_EMB_GRAD_COLMAJOR=1: constrain the wembed gradient to
-        # column-major. XLA's auto layout assignment carries the wembed
-        # param and its Adam moments through the step column-major
-        # ({0,1}) while the embedding gradient (a scatter over at most
-        # B*T rows) comes out row-major, so every step pays
-        # full-f32[13001,300] relayout copies around the Adam fusion
-        # (measured ~244 us at bs 256: 63+54+53 us moments in/out,
-        # 28 us param, 2x23 us below-cutoff twins). Aligning the ONE
-        # grad tensor with the carried layout lets the whole update
-        # chain run copy-free. (Committing row-major input layouts in
-        # replicate() instead was a no-op — jit relayouts committed
-        # inputs to its auto entry layout.) Default off until A/B'd.
-        if os.environ.get("VQAX_EMB_GRAD_COLMAJOR", "0") == "1":
+        # Constrain the wembed gradient to column-major (default ON,
+        # VQAX_EMB_GRAD_COLMAJOR=0 restores auto layout). XLA's auto
+        # layout assignment carries the wembed param and its Adam
+        # moments through the step column-major ({0,1}) while the
+        # embedding gradient (a scatter over at most B*T rows) comes
+        # out row-major, so every step paid full-f32[13001,300]
+        # relayout copies around the Adam fusion (measured ~244 us at
+        # bs 256: 63+54+53 us moments in/out, 28 us param, 2x23 us
+        # below-cutoff twins). Aligning the ONE grad tensor with the
+        # carried layout lets the whole update chain run copy-free:
+        # op profile 6452.6 vs 6638.8 us busy (-186 us), copies gone.
+        # Physical layout only — training is bit-identical (tested).
+        # (Committing row-major input layouts in replicate() instead
+        # was a no-op — jit relayouts committed inputs to its auto
+        # entry layout.)
+        if os.environ.get("VQAX_EMB_GRAD_COLMAJOR", "1") == "1":
             from jax.experimental.layout import Layout, \
                 with_layout_constraint
 
