@@ -67,6 +67,29 @@ def test_fit_learns_synthetic_task(data_dir, tmp_path):
     assert acc_val > 30.0, acc_val
 
 
+def test_resident_eval_matches_streaming(data_dir, tmp_path, monkeypatch):
+    """The one-dispatch lax.scan eval epoch (device-resident batches)
+    must produce the same accuracy and the same result.json rows as the
+    classic per-step streaming loop, including the mask-padded final
+    batch (n_questions=64 is not a multiple of bsize 24)."""
+    ds = GraphVQADataset.vqa2(data_dir, "val", n_obj=8, max_qlen=10)
+    model = build_model(MODEL_CFG, ds)
+    tcfg = TrainConfig(lr=1e-3, epochs=1, batch_size=24)
+    tx = make_optimizer(tcfg, 10)
+    sample = next(iter(Batcher(ds, 24)))
+    params = create_train_state(model, model.cfg, tx, sample, seed=4).params
+
+    out = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv("VQAX_RESIDENT_EVAL", knob)
+        rpath = str(tmp_path / f"res_{knob}.json")
+        acc, result, _ = evaluate(model, params, ds, 24, result_path=rpath)
+        out[knob] = (acc, result)
+        assert len(result) == ds.n_questions
+    assert out["1"][0] == pytest.approx(out["0"][0], abs=1e-4)
+    assert out["1"][1] == out["0"][1]
+
+
 def test_checkpoint_roundtrip(data_dir, tmp_path):
     ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
     tcfg = TrainConfig(lr=1e-3, epochs=1, batch_size=16)

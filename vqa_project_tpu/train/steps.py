@@ -313,3 +313,81 @@ def build_eval_step(model, mesh,
     wrapper.jit_step = jit_step
     wrapper.cache_arrays = cache_arrays
     return wrapper
+
+
+# keys an eval scan step actually reads; host-only keys (qid, index)
+# and label-densify keys (ans_idx/ans_score, unused in eval) stay off
+# the device
+_EPOCH_KEYS = ("question", "image_row", "qlen", "vote_idx", "vote_val",
+               "mask")
+
+
+def stack_epoch_batches(batches, mesh, data_axis: Optional[str] = None):
+    """Stack index-mode batch dicts into (S, B, ...) device arrays.
+
+    One device_put for the whole eval epoch (vs one H2D per step): the
+    tunnel's per-transfer latency is what bounds the classic eval loop
+    once the step itself is ~2 ms. Batch axis 1 is sharded over the
+    mesh's data axis; the step axis is unsharded (the scan walks it).
+
+    Returns (epoch_arrays, n_steps).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert batches, "empty eval epoch"
+    assert "image_row" in batches[0], \
+        "resident eval needs index-mode batches (device feature cache)"
+    stacked = {k: np.stack([b[k] for b in batches]) for k in _EPOCH_KEYS}
+    sh = NamedSharding(mesh, P(None, data_axis or mesh.axis_names[0]))
+    return ({k: jax.device_put(v, sh) for k, v in stacked.items()},
+            len(batches))
+
+
+def build_eval_epoch(model, mesh,
+                     feature_cache=None,
+                     n_answers: Optional[int] = None,
+                     pallas_gather=False,
+                     data_axis: Optional[str] = None) -> Callable:
+    """Whole-epoch device-resident eval: ONE dispatch per epoch.
+
+    The classic per-step eval loop is ingest-bound on the tunneled
+    backend: the eval step is ~2.0 ms busy (op profile) but the loop
+    measures ~3.4 ms/step — host batch assembly + per-step H2D never
+    catch up with a forward that short. This runner takes the stacked
+    (S, B, ...) epoch produced by stack_epoch_batches (resident on
+    device) and lax.scan's the eval step over the step axis, returning
+    (total_score, (S, B) int32 preds) — two fetches per EPOCH instead
+    of two per step.
+
+    Replaces the reference's per-batch python eval loop
+    (/root/reference/run.py:92-110) with compiler-scheduled iteration —
+    the idiomatic XLA formulation of a fixed eval sweep.
+
+    Requires a replicated device feature cache (tuple form); the
+    sharded-cache and host modes keep the classic loop (their batches
+    are locality-partitioned / carry dense tensors).
+    """
+    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather,
+                                           mesh, data_axis)
+    assert image_fn is not None, \
+        "build_eval_epoch requires a device feature cache"
+
+    def epoch(params, epoch_batches, cache):
+        def body(total, batch):
+            question, image, qlen, _, score_fn = _assemble_inputs(
+                batch, image_fn, cache, n_answers)
+            logits, _, _ = model.apply(
+                params, question, image, qlen, train=False)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return total + score_fn(logits, batch["mask"]), preds
+
+        return jax.lax.scan(body, jnp.float32(0.0), epoch_batches)
+
+    jit_epoch = jax.jit(epoch)
+
+    def wrapper(params, epoch_batches):
+        return jit_epoch(params, epoch_batches, cache_arrays)
+
+    wrapper.jit_epoch = jit_epoch
+    return wrapper
