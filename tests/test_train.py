@@ -67,6 +67,27 @@ def test_fit_learns_synthetic_task(data_dir, tmp_path):
     assert acc_val > 30.0, acc_val
 
 
+@pytest.mark.parametrize("resident", ["1", "0"])
+def test_mini_validation_both_paths(data_dir, tmp_path, capsys,
+                                    monkeypatch, resident):
+    """fit() with eval_interval triggers the mid-epoch mini-validation in
+    both its resident (one-dispatch) and streaming forms; both print a
+    finite validation accuracy and save the mid-epoch checkpoint."""
+    monkeypatch.setenv("VQAX_RESIDENT_EVAL", resident)
+    train_ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    val_ds = GraphVQADataset.vqa2(data_dir, "val", n_obj=8, max_qlen=10)
+    tcfg = TrainConfig(lr=1e-3, epochs=1, batch_size=32, eval_interval=4,
+                       save_dir=str(tmp_path), log_interval=1000,
+                       name="mv")
+    fit(tcfg, MODEL_CFG, train_ds, val_ds)
+    outs = [ln for ln in capsys.readouterr().out.splitlines()
+            if "Validation accuracy" in ln]
+    assert outs, "mini-validation never ran"
+    acc = float(outs[0].split(":")[1].strip().rstrip(" %"))
+    assert 0.0 <= acc <= 100.0
+    assert any(f.startswith("mv_") for f in os.listdir(tmp_path))
+
+
 def test_resident_eval_matches_streaming(data_dir, tmp_path, monkeypatch):
     """The one-dispatch lax.scan eval epoch (device-resident batches)
     must produce the same accuracy and the same result.json rows as the

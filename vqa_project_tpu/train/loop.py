@@ -234,9 +234,23 @@ def fit(
                          if _same_store(val_ds.store, train_ds.store)
                          else make_feature_cache(val_ds, mesh, train_cfg,
                                                  model_cfg.compute_dtype))
-        eval_step = build_eval_step(model, mesh, feature_cache=val_cache,
-                                    n_answers=val_ds.n_answers,
-                                    pallas_gather=train_cfg.pallas_gather)
+        if (isinstance(val_cache, tuple)
+                and os.environ.get("VQAX_RESIDENT_EVAL", "1") == "1"):
+            # one-dispatch mini-val (see _mini_validation_resident)
+            from vqa_project_tpu.train.steps import build_eval_epoch
+
+            eval_step = build_eval_epoch(
+                model, mesh, feature_cache=val_cache,
+                n_answers=val_ds.n_answers,
+                pallas_gather=train_cfg.pallas_gather,
+                data_axis=train_cfg.data_axis)
+            eval_step.resident = True
+        else:
+            eval_step = build_eval_step(
+                model, mesh, feature_cache=val_cache,
+                n_answers=val_ds.n_answers,
+                pallas_gather=train_cfg.pallas_gather)
+            eval_step.resident = False
         val_iter = _infinite_batches(
             Batcher(val_ds, bs, shuffle=True, seed=train_cfg.seed + 1,
                     materialize=val_cache is None,
@@ -284,8 +298,13 @@ def fit(
 
             if (val_iter is not None and train_cfg.eval_interval
                     and n_steps % train_cfg.eval_interval == 0):
-                acc = _mini_validation(eval_step, state.params, val_iter,
-                                       put, bs)
+                if eval_step.resident:
+                    acc = _mini_validation_resident(
+                        eval_step, state.params, val_iter, mesh,
+                        train_cfg.data_axis)
+                else:
+                    acc = _mini_validation(eval_step, state.params,
+                                           val_iter, put, bs)
                 print(f"Validation accuracy: {acc:.2f} %", flush=True)
                 _save_epoch_ckpt(train_cfg, state, ep)
 
@@ -357,6 +376,22 @@ def _save_epoch_ckpt(cfg: TrainConfig, state: TrainState, ep: int):
 def _infinite_batches(batcher: Batcher):
     while True:
         yield from batcher
+
+
+def _mini_validation_resident(eval_epoch, params, val_iter, mesh,
+                              data_axis, n_batches: int = 10) -> float:
+    """One-dispatch variant of _mini_validation: stack the 10 random val
+    batches, ONE H2D, one lax.scan dispatch, ONE score fetch — the
+    streaming variant pays a ~20 ms blocking D2H per batch through the
+    tunnel, ~10% of training wall time at the reference's
+    eval_interval=400 (run.py:248-259)."""
+    from vqa_project_tpu.train.steps import stack_epoch_batches
+
+    hosts = [next(val_iter) for _ in range(n_batches)]
+    n_valid = float(sum(h["mask"].sum() for h in hosts))
+    epoch_arrays, _ = stack_epoch_batches(hosts, mesh, data_axis)
+    total, _ = eval_epoch(params, epoch_arrays)
+    return float(total) / max(n_valid, 1.0) * 100.0
 
 
 def _mini_validation(eval_step, params, val_iter, put, bs,
