@@ -89,6 +89,7 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
             os.environ.get("BENCH_PALLAS", ""), "auto"))
     tcfg = TrainConfig(
         batch_size=bsize,
+        adam_mu_dtype=os.environ.get("BENCH_ADAM_MU_DTYPE", "float32"),
         feature_cache_dtype=os.environ.get("BENCH_FEATURE_DTYPE",
                                            "auto"),
         pallas_gather={"1": True, "0": False}.get(

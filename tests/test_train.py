@@ -248,6 +248,28 @@ def test_emb_grad_layout_pin_is_exact(data_dir, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_bf16_adam_mu_still_learns(data_dir):
+    """adam_mu_dtype=bfloat16 (half the first-moment HBM traffic) must
+    not break training: the synthetic task still converges, and the
+    optimizer state actually stores mu in bf16."""
+    import jax.numpy as jnp
+    import optax
+
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    tcfg = TrainConfig(lr=5e-3, epochs=25, batch_size=32, eval_interval=0,
+                       log_interval=1000, adam_mu_dtype="bfloat16")
+    _, state, acc = fit(tcfg, MODEL_CFG, ds)
+    assert acc > 60.0, acc
+    mu_leaves = [
+        s.mu for s in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(
+                x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert mu_leaves
+    for leaf in jax.tree.leaves(mu_leaves[0]):
+        assert leaf.dtype == jnp.bfloat16
+
+
 def test_bf16_feature_cache_still_learns(data_dir):
     """Storing the device feature table in bfloat16 (half HBM) must not
     break training."""

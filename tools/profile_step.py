@@ -57,7 +57,9 @@ def capture(args) -> str:
     ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=36, max_qlen=16)
     mcfg = ModelConfig(compute_dtype="bfloat16",
                        use_pallas=(False if args.no_pallas else "auto"))
-    tcfg = TrainConfig(batch_size=args.bsize)
+    tcfg = TrainConfig(
+        batch_size=args.bsize,
+        adam_mu_dtype=os.environ.get("BENCH_ADAM_MU_DTYPE", "float32"))
     model = build_model(mcfg, ds)
     mesh = make_mesh()
     cache = make_feature_cache(ds, mesh, tcfg, mcfg.compute_dtype)

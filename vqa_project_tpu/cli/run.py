@@ -74,6 +74,11 @@ def input_args(argv=None):
                              "per parallel/tp.py)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--adam_mu_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="dtype of Adam's first moment (bfloat16 "
+                             "halves its HBM traffic; float32 = exact "
+                             "torch-Adam parity)")
     parser.add_argument("--feature_cache_dtype", type=str,
                         default="auto",
                         choices=["auto", "bfloat16", "float32"],
@@ -120,7 +125,7 @@ def make_configs(args):
         feature_cache_dtype=args.feature_cache_dtype,
         pallas_gather={"on": True, "off": False}.get(
             args.pallas_gather, "auto"),
-        tp=args.tp)
+        tp=args.tp, adam_mu_dtype=args.adam_mu_dtype)
     return mcfg, tcfg
 
 

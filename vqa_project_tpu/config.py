@@ -110,6 +110,14 @@ class TrainConfig:
     #   kept for interpret-mode testing).
     # False: always jnp.take.
     pallas_gather: object = "auto"  # "auto" | True | False
+    # dtype of Adam's FIRST moment (optax mu_dtype). The moments are
+    # pure HBM traffic every step (read+write of each); storing mu in
+    # bfloat16 halves its share (~120 MB/step at real dims). The second
+    # moment stays f32 (rsqrt of tiny averages is precision-sensitive;
+    # mu only biases the update direction and bf16 momentum is standard
+    # large-scale practice). float32 default = exact torch-Adam parity
+    # (run.py:172); torch-checkpoint import casts exp_avg to this dtype.
+    adam_mu_dtype: str = "float32"  # float32 | bfloat16
 
 
 @dataclasses.dataclass

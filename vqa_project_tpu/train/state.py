@@ -46,9 +46,11 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     """Adam with the MultiStep schedule (run.py:172,188). torch Adam
-    defaults (betas 0.9/0.999, eps 1e-8) match optax."""
+    defaults (betas 0.9/0.999, eps 1e-8) match optax; adam_mu_dtype
+    optionally stores the first moment in bfloat16 (see config.py)."""
     sched = make_lr_schedule(cfg, max(steps_per_epoch, 1))
-    return optax.adam(learning_rate=sched)
+    mu_dtype = getattr(cfg, "adam_mu_dtype", "float32")
+    return optax.adam(learning_rate=sched, mu_dtype=mu_dtype)
 
 
 def create_train_state(model, model_cfg: ModelConfig, tx,
