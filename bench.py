@@ -273,9 +273,11 @@ def main():
     cache_mode = os.environ.get("BENCH_CACHE", "auto")
     n_images = int(os.environ.get("BENCH_N_IMAGES", 16384))
     target_steps = int(os.environ.get("BENCH_STEPS", 100))
-    # eval steps are ~4x faster than train steps, so windows are short
-    # and noisier: default to more windows there (VERDICT r2 item 9)
-    reps = int(os.environ.get("BENCH_REPS", 4 if mode == "eval" else 2))
+    # the tunneled chip is BIMODAL (fast/slow windows differing 15-25%);
+    # a window is only ~0.6 s, so take 4 by default in both modes — the
+    # best window is the device-bound number and the spread reports the
+    # bimodality (VERDICT r2 item 9)
+    reps = int(os.environ.get("BENCH_REPS", 4))
 
     # eval sweeps a fixed split: size the synthetic epoch so the two
     # per-epoch fetches amortize the way they do over the real 214k-row
