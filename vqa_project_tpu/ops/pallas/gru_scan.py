@@ -381,17 +381,31 @@ def _bwd_xla_reference(res, gh_final):
         # post-scan einsum's preferred_element_type.
         return dh_prev, (dxp_t, dhp.astype(wd))
 
+    # The reverse scan is FULLY unrolled for short sequences (default;
+    # VQAX_GRU_BWD_UNROLL=N overrides, 1 = keep the while loop):
+    # straight-line code drops the while-loop overhead and lets XLA
+    # overlap step t's elementwise chain with the neighbouring steps'
+    # MXU work — the serial dh dependency bounds the schedule at
+    # 2 GEMMs/step (~16 us), but the while ran ~30 us/step. Measured
+    # (op profile, bs 256, T=16): full unroll 6109.0 us busy/step vs
+    # 6311.7 with the while (-203 us); PARTIAL unroll=4 is WORSE than
+    # the plain while (6427.3 — the bigger loop body schedules worse
+    # without removing the loop). Hence: full unroll iff T <= 32,
+    # plain scan otherwise. Semantics are identical either way.
+    unroll_env = os.environ.get("VQAX_GRU_BWD_UNROLL", "")
+    unroll = int(unroll_env) if unroll_env else (t if t <= 32 else 1)
     if carry_dw:
         init = (gh_final.astype(jnp.float32),
                 jnp.zeros((h, h3), jnp.float32),
                 jnp.zeros((h3,), jnp.float32))
         (dh0, dw, db), dxp = jax.lax.scan(
             step, init, (xp.astype(jnp.float32), h_prevs, t_ids),
-            reverse=True)
+            reverse=True, unroll=unroll)
     else:
         dh0, (dxp, dhps) = jax.lax.scan(
             step, gh_final.astype(jnp.float32),
-            (xp.astype(jnp.float32), h_prevs, t_ids), reverse=True)
+            (xp.astype(jnp.float32), h_prevs, t_ids), reverse=True,
+            unroll=unroll)
         dw = jnp.einsum("tbh,tbg->hg", h_prevs.astype(wd), dhps,
                         preferred_element_type=jnp.float32)
         db = jnp.sum(dhps.astype(jnp.float32), axis=(0, 1))
