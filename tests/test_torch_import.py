@@ -330,3 +330,76 @@ def test_fit_resume_accepts_torch_full_dict(rng, tmp_path):
     assert not _is_torch_file(native)
     epoch2, state2 = _resume_checkpoint(native, state)
     assert epoch2 == 9 and int(state2.opt_state[0].count) == 1
+
+
+def test_export_inverts_import(tmp_path):
+    """export_torch_state_dict is the exact inverse of
+    import_torch_state_dict: same key set as the reference fixture,
+    identical tensors after a torch.save/torch.load round trip, and a
+    second import reproduces the identical flax tree."""
+    from vqa_project_tpu.models.torch_import import (
+        export_torch_state_dict, load_torch_checkpoint,
+        save_torch_checkpoint)
+
+    cfg = ModelConfig(vocab_size=30, emb_dim=12, feat_dim=20, hid_dim=16,
+                      out_dim=10, combined_dim=8, n_kernels=4)
+    sd_ref = _make_torch_state_dict(cfg)
+    tree = import_torch_state_dict(sd_ref)
+    sd_out = export_torch_state_dict(tree)
+
+    assert set(sd_out) == set(sd_ref)
+    for k in sd_ref:
+        np.testing.assert_allclose(
+            sd_out[k], np.asarray(sd_ref[k], np.float32),
+            rtol=0, atol=0, err_msg=k)
+
+    path = str(tmp_path / "exported.pt")
+    save_torch_checkpoint(path, tree)
+    loaded = torch.load(path, map_location="cpu", weights_only=True)
+    assert set(loaded) == set(sd_ref)
+    tree2 = load_torch_checkpoint(path)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(tree2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_cli_from_framework_checkpoint(tmp_path):
+    """End-to-end export surface: a framework msgpack checkpoint run
+    through cli.export_torch produces a torch file whose re-import
+    matches the original parameters."""
+    from vqa_project_tpu.cli.export_torch import main as export_main
+    from vqa_project_tpu.models.torch_import import load_torch_checkpoint
+    from vqa_project_tpu.train.state import save_checkpoint
+    from vqa_project_tpu.config import TrainConfig
+    from vqa_project_tpu.train.state import create_train_state, \
+        make_optimizer
+
+    cfg = ModelConfig(vocab_size=30, emb_dim=12, feat_dim=20, hid_dim=16,
+                      out_dim=10, combined_dim=8, n_kernels=4, n_obj=6,
+                      neighbourhood_size=3, max_qlen=5,
+                      compute_dtype="float32", use_pallas=False)
+    model = GraphVQAModel(cfg=cfg)
+    rng = np.random.default_rng(0)
+    sample = {
+        "question": rng.integers(1, cfg.vocab_size, (4, cfg.max_qlen)),
+        "image": rng.normal(size=(4, cfg.n_obj, cfg.feat_dim)
+                            ).astype(np.float32),
+        "qlen": np.full((4,), cfg.max_qlen, np.int32),
+    }
+    state = create_train_state(
+        model, cfg, make_optimizer(TrainConfig(), 10), sample, seed=2)
+    src = str(tmp_path / "fw.pt")
+    dst = str(tmp_path / "ref.pt")
+    save_checkpoint(src, state, epoch=1)
+    export_main([src, dst])
+    tree = load_torch_checkpoint(dst)
+
+    def by_key(t):
+        return {jax.tree_util.keystr(path): leaf for path, leaf
+                in jax.tree_util.tree_leaves_with_path(t)}
+
+    got, want = by_key(tree), by_key(state.params)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   rtol=0, atol=1e-7, err_msg=k)

@@ -183,3 +183,60 @@ def load_torch_checkpoint(path: str, opt_state_template=None):
             print(f"torch checkpoint: optimizer state not imported ({e}); "
                   "optimizer restarts fresh", flush=True)
     return params, opt_state, epoch
+
+
+# --- reverse direction: export to the reference's on-disk format -------
+
+def _wn_export(sd: Dict, prefix: str, leaf: Dict) -> None:
+    """Inverse of _wn: emit legacy weight_norm names (weight_g (out,1),
+    weight_v (out,in)) — the naming the reference's torch.load expects
+    (utils.py:44 saves module.state_dict() of weight_norm'd Linears)."""
+    sd[f"{prefix}.weight_g"] = np.asarray(leaf["g"],
+                                          np.float32).reshape(-1, 1)
+    sd[f"{prefix}.weight_v"] = np.asarray(leaf["v"], np.float32).T
+    if "b" in leaf:
+        sd[f"{prefix}.bias"] = np.asarray(leaf["b"], np.float32)
+
+
+def export_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Convert the flax parameter tree back into a reference-format
+    state_dict (exact inverse of import_torch_state_dict): torch Linear
+    (out, in) orientation, (n, 1) Gaussian parameter shapes, and the
+    fused (in, out) conv_kernels split back into n stacked
+    conv_weights.{i}.weight matrices. Lets a trained TPU checkpoint be
+    loaded by the reference's eval/plot stack
+    (/root/reference/run.py:84-86 model.load_state_dict)."""
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+    sd["wembed.weight"] = np.asarray(p["wembed"], np.float32)
+    sd["q_gru.weight_ih_l0"] = np.asarray(p["gru_w_ih"], np.float32)
+    sd["q_gru.weight_hh_l0"] = np.asarray(p["gru_w_hh"], np.float32)
+    sd["q_gru.bias_ih_l0"] = np.asarray(p["gru_b_ih"], np.float32)
+    sd["q_gru.bias_hh_l0"] = np.asarray(p["gru_b_hh"], np.float32)
+    for n in ("edge_layer_1", "edge_layer_2"):
+        _wn_export(sd, f"adjacency_1.{n}", p["adjacency_1"][n])
+    for conv in ("graph_convolution_1", "graph_convolution_2"):
+        leaf = p[conv]
+        n_kernels = int(np.asarray(leaf["mean_rho"]).shape[0])
+        fused = np.asarray(leaf["conv_kernels"], np.float32)  # (in, out)
+        d = fused.shape[1] // n_kernels
+        for i in range(n_kernels):
+            sd[f"{conv}.conv_weights.{i}.weight"] = \
+                fused[:, i * d:(i + 1) * d].T          # (out/n, in)
+        for g in ("mean_rho", "mean_theta", "precision_rho",
+                  "precision_theta"):
+            sd[f"{conv}.{g}"] = np.asarray(leaf[g],
+                                           np.float32).reshape(-1, 1)
+    _wn_export(sd, "out_1", p["out_1"])
+    _wn_export(sd, "out_2", p["out_2"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, params: Dict) -> None:
+    """torch.save the exported state_dict (torch required) — the bare
+    state_dict format of /root/reference/utils.py:34-44."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(params).items()}
+    torch.save(sd, path)
