@@ -278,3 +278,32 @@ def test_bf16_feature_cache_still_learns(data_dir):
                        log_interval=1000, feature_cache_dtype="bfloat16")
     model, state, acc = fit(tcfg, MODEL_CFG, ds)
     assert acc > 40.0, acc
+
+
+def test_scaling_report_parser():
+    """tools/scaling_report.py's HLO collective parser: counts and bytes
+    from representative optimized-HLO lines, including tuple shapes and
+    async -start forms."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import scaling_report as sr
+
+    hlo = "\n".join([
+        "  %ar = f32[13001,300]{1,0} all-reduce(f32[13001,300]{1,0} %g),"
+        " replica_groups={}",
+        "  %ar2 = (f32[1024]{0}, f32[3001]{0}) all-reduce("
+        "f32[1024]{0} %a, f32[3001]{0} %b)",
+        "  %ag = bf16[2048,1024]{1,0} all-gather(bf16[1024,1024]{1,0} %x),"
+        " dimensions={0}",
+        "  %cp = f32[128,128]{1,0} collective-permute-start("
+        "f32[128,128]{1,0} %y)",
+        "  %plain = f32[64]{0} add(f32[64]{0} %p, f32[64]{0} %q)",
+    ])
+    stats = sr.collect(hlo)
+    assert stats["all-reduce"]["count"] == 2
+    assert stats["all-reduce"]["bytes"] == (
+        13001 * 300 * 4 + 1024 * 4 + 3001 * 4)
+    assert stats["all-gather"]["bytes"] == 2048 * 1024 * 2
+    assert stats["collective-permute"]["count"] == 1
+    assert "add" not in str(stats)
