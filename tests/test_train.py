@@ -307,3 +307,39 @@ def test_scaling_report_parser():
     assert stats["all-gather"]["bytes"] == 2048 * 1024 * 2
     assert stats["collective-permute"]["count"] == 1
     assert "add" not in str(stats)
+
+
+def test_checkpoint_resumes_across_mu_dtype_change(data_dir, tmp_path):
+    """A checkpoint written with f32 Adam moments resumes into a
+    bf16-mu configuration in the CONFIGURED dtype (template-driven
+    restore), and vice versa."""
+    import jax.numpy as jnp
+    import optax
+
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    model = build_model(MODEL_CFG, ds)
+    sample = next(iter(Batcher(ds, 16)))
+
+    def mk_state(mu_dtype):
+        tcfg = TrainConfig(lr=1e-3, epochs=1, batch_size=16,
+                           adam_mu_dtype=mu_dtype)
+        tx = make_optimizer(tcfg, 10)
+        return create_train_state(model, model.cfg, tx, sample, seed=1)
+
+    def mu_dtypes(state):
+        return {leaf.dtype
+                for s in jax.tree.leaves(
+                    state.opt_state, is_leaf=lambda x: isinstance(
+                        x, optax.ScaleByAdamState))
+                if isinstance(s, optax.ScaleByAdamState)
+                for leaf in jax.tree.leaves(s.mu)}
+
+    path = str(tmp_path / "f32.ckpt")
+    save_checkpoint(path, mk_state("float32"), epoch=1)
+    _, restored = load_checkpoint(path, mk_state("bfloat16"))
+    assert mu_dtypes(restored) == {jnp.dtype(jnp.bfloat16)}
+
+    path2 = str(tmp_path / "bf16.ckpt")
+    save_checkpoint(path2, mk_state("bfloat16"), epoch=1)
+    _, restored2 = load_checkpoint(path2, mk_state("float32"))
+    assert mu_dtypes(restored2) == {jnp.dtype(jnp.float32)}

@@ -149,6 +149,14 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None
             state.params, payload["params"])
         opt_state = flax.serialization.from_state_dict(
             state.opt_state, payload["opt_state"])
+        # from_state_dict restores STORED dtypes; normalize to the
+        # template's so a checkpoint written under a different
+        # adam_mu_dtype resumes in the configured dtype (and the jitted
+        # step keeps one compiled signature)
+        opt_state = jax.tree.map(
+            lambda t, s: (jnp.asarray(s, t.dtype)
+                          if hasattr(t, "dtype") else s),
+            state.opt_state, opt_state)
         rng_data = jnp.asarray(payload["rng"])
         # key impl from the stored data width: rbg carries (4,) uint32,
         # legacy threefry checkpoints (2,) — both resume bit-exactly
