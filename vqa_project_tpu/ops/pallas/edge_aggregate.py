@@ -316,7 +316,13 @@ def _kernel_bwd(g_ref, sel_ref, ghat_ref, denom_ref, pseudo_ref,
 
     # phase 1: the MXU dots, batched over the image tile via dot_general
     # batch dims (per-kernel python loop, whole-tile batched dot per
-    # kernel — 2*n_kernels dots per grid step instead of 2*n*bt)
+    # kernel — 2*n_kernels dots per grid step instead of 2*n*bt).
+    # Dot dtype: f32 operands with HIGHEST even when proj is bf16 —
+    # casting the edge weights / cotangent down to bf16 (single-pass
+    # MXU, matching the XLA autodiff backward's precision) was
+    # profiled a WASH (6112.1 vs 6108.9 us busy; the bwd kernels are
+    # stream/overlap-bound, not dot-bound), so the extra precision is
+    # free and stays.
     prec = _dot_precision(proj_ref.dtype)
     g_all = g_scr[:]                                   # (bt, K, nd) f32
     w_all = w_scr[:]                                   # (bt, n, K, K)
