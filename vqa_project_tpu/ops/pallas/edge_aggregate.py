@@ -61,8 +61,17 @@ def _dot_precision(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _pick_bt(b: int, target: int = 8) -> int:
-    """Largest batch-tile <= target that divides b (grid must be exact)."""
+def _pick_bt(b: int, target: int = 0) -> int:
+    """Largest batch-tile <= target that divides b (grid must be exact).
+
+    Default target 8 (VQAX_BT overrides for A/B). Swept on-chip at bs
+    256/nd=2048: bt=8 -> 6108.9 us busy/step, bt=16 -> 6118.1 (wash),
+    bt=4 -> 6152.7 (worse), bt=32 -> Mosaic VMEM stack OOM (56.7 MB
+    needed vs the 48 MB grant). 8 is the sweet spot: big enough to
+    amortize per-grid-step overhead, small enough that the ~12 MB
+    double-buffered block set leaves stack headroom."""
+    if not target:
+        target = int(os.environ.get("VQAX_BT", "8"))
     bt = min(target, b)
     while b % bt:
         bt -= 1
