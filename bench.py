@@ -39,9 +39,14 @@ import time
 
 import numpy as np
 
-# GPU-roofline of the reference at bs 256; derivation in BASELINE.md and
+# GPU-rooflines of the reference at bs 256; derivation in BASELINE.md and
 # tools/baseline_reference.py (rounded up — generous to the reference).
+# Eval (forward-only: no bwd FLOPs, no grad/Adam HBM) derives ~2.2x the
+# train roofline; vs_baseline for BENCH_MODE=eval divides by THIS, not
+# the train number — comparing eval throughput against a train baseline
+# would overstate the ratio ~2x.
 REFERENCE_BASELINE_QA_PER_SEC = 2700.0
+REFERENCE_BASELINE_EVAL_QA_PER_SEC = 5800.0
 
 
 def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
@@ -303,11 +308,13 @@ def main():
     metric = f"vqa2_{mode}_qa_pairs_per_sec_per_chip"
     if cache_mode != "auto":
         metric += f"_{cache_kind}_cache"
+    baseline = (REFERENCE_BASELINE_EVAL_QA_PER_SEC if mode == "eval"
+                else REFERENCE_BASELINE_QA_PER_SEC)
     print(json.dumps({
         "metric": metric,
         "value": round(per_chip, 1),
         "unit": "QA-pairs/sec/chip",
-        "vs_baseline": round(per_chip / REFERENCE_BASELINE_QA_PER_SEC, 2),
+        "vs_baseline": round(per_chip / baseline, 2),
         "n_images": n_images,
         "spread_pct": round(spread, 1),
         **extra,

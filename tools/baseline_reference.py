@@ -216,8 +216,13 @@ def measure_cpu_gemm(n=1024, iters=8):
 
 
 def analytic_terms(b, k=36, m=16, feat=2052, hid=1024, emb=300,
-                   out=3001, n=8, t=14, combined=512):
-    """Per-step FLOPs / HBM / H2D of the reference formulation."""
+                   out=3001, n=8, t=14, combined=512, train=True):
+    """Per-step FLOPs / HBM / H2D of the reference formulation.
+
+    train=False derives the EVAL (forward-only) terms: no backward
+    FLOPs, no gradient/Adam HBM traffic, same dense H2D (the reference
+    eval loop still ships answers/votes for the accuracy computation,
+    run.py:92-99)."""
     macs = 0
     macs += t * 3 * hid * (emb + hid)          # GRU scan
     macs += k * (feat + hid) * combined        # edge_layer_1
@@ -227,7 +232,7 @@ def analytic_terms(b, k=36, m=16, feat=2052, hid=1024, emb=300,
     macs += k * m * n * 2 * hid + k * 2 * hid * hid      # conv2 agg+lin
     macs += hid * out + out * out              # classifier
     flops_fwd = 2 * macs * b
-    flops_train = 3 * flops_fwd                # bwd ~ 2x fwd
+    flops_total = 3 * flops_fwd if train else flops_fwd  # bwd ~ 2x fwd
 
     f32 = 4
     # dominant gather/activation tensors, read+write each, x2 for bwd
@@ -235,22 +240,25 @@ def analytic_terms(b, k=36, m=16, feat=2052, hid=1024, emb=300,
     for width in (feat, 2 * hid):              # conv1 / conv2 neighbourhood
         nbytes = b * k * m * width * f32
         hbm += 3 * nbytes                      # gather write + mul r/w
-        hbm += 2 * nbytes                      # einsum read + grad write
+        if train:
+            hbm += 2 * nbytes                  # einsum read + grad write
     hbm += b * k * k * (feat + hid) * 0        # (nodes cat reused, skip)
-    hbm *= 2                                   # backward re-touches these
+    if train:
+        hbm *= 2                               # backward re-touches these
     # Adam over ~28M params: p, g, m, v reads + p, m, v writes
     n_params = (13_000 * emb + 3 * hid * (emb + hid)
                 + (feat + hid) * combined + combined * combined
                 + feat * 2 * hid + 2 * hid * hid
                 + hid * out + out * out)
-    hbm += 7 * n_params * f32
+    if train:
+        hbm += 7 * n_params * f32
     # dense H2D every step: q(int64) + a + votes + image (utils.py:22-31)
     h2d = b * (100 * 8 + out * f32 * 2 + k * feat * f32)
-    return flops_train, hbm, h2d
+    return flops_total, hbm, h2d
 
 
-def roofline(b, host_s):
-    flops, hbm, h2d = analytic_terms(b)
+def roofline(b, host_s, train=True):
+    flops, hbm, h2d = analytic_terms(b, train=train)
     t_flops = flops / (GPU_FP32_TFLOPS * 1e12 * GPU_GEMM_EFFICIENCY)
     t_hbm = hbm / (GPU_HBM_GBPS * 1e9)
     t_h2d = h2d / (PCIE_GBPS * 1e9)
@@ -294,6 +302,7 @@ def main():
             "sync_latency_us": SYNC_LATENCY_S * 1e6,
         },
         "gpu_roofline": rl,
+        "gpu_roofline_eval": roofline(args.bsize, host_s, train=False),
     }))
 
 
