@@ -122,6 +122,20 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
     sample = next(iter(Batcher(ds, bsize)))
     state = create_train_state(model, model.cfg, tx, sample, seed=0)
     state = replicate(state, mesh)
+    eval_params = state.params
+    if mode == "eval" and os.environ.get("BENCH_QUANT", "0") == "1":
+        # int8 serving projections (ops/quant.py): rebuild the model
+        # with quantized_inference and transform the params once
+        import dataclasses
+
+        from vqa_project_tpu.train.loop import build_model as _bm
+        from vqa_project_tpu.ops.quant import quantize_params_for_serving
+
+        model = _bm(dataclasses.replace(mcfg, quantized_inference=True),
+                    ds)
+        eval_params = replicate(
+            quantize_params_for_serving(jax.device_get(state.params)),
+            mesh)
     if (mode == "eval" and isinstance(cache, tuple)
             and os.environ.get("BENCH_RESIDENT", "1") == "1"):
         # device-resident eval: the whole epoch is stacked on device and
@@ -139,7 +153,7 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
                                       pallas_gather=tcfg.pallas_gather)
         epoch_arrays, epoch_steps = stack_epoch_batches(
             list(iter(loader)), mesh)
-        params = state.params
+        params = eval_params
         total, preds = eval_epoch(params, epoch_arrays)   # warmup/compile
         _ = float(total)
         windows = []
@@ -168,7 +182,7 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
         eval_step = build_eval_step(model, mesh, feature_cache=cache,
                                     n_answers=ds.n_answers,
                                     pallas_gather=tcfg.pallas_gather)
-        params = state.params
+        params = eval_params
 
         def train_step(st, batch):  # same loop shape; returns a scalar
             preds, score, _ = eval_step(params, batch)

@@ -180,3 +180,62 @@ def test_split_shared_matches_concat_formulation(model_and_params, rng,
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(adj_a), np.asarray(adj_b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_accuracy(rng):
+    """ops/quant.py int8_matmul: per-column weight + per-tensor dynamic
+    activation quantization stays within ~2% relative error of the f32
+    product on gaussian data."""
+    from vqa_project_tpu.ops.quant import int8_matmul, quantize_weight
+
+    x = rng.normal(size=(128, 96)).astype(np.float32)
+    w = (rng.normal(size=(96, 64)) * rng.uniform(0.1, 3.0, (1, 64))
+         ).astype(np.float32)
+    q, s = quantize_weight(jnp.asarray(w))
+    got = np.asarray(int8_matmul(jnp.asarray(x), q, s))
+    want = x @ w
+    rms_rel = (np.sqrt(((got - want) ** 2).mean())
+               / np.sqrt((want ** 2).mean()))
+    assert rms_rel < 0.02, rms_rel
+    denom = np.maximum(np.abs(want), np.abs(want).mean())
+    assert np.max(np.abs(got - want) / denom) < 0.15
+
+
+def test_quantized_inference_matches_f32(model_and_params, rng):
+    """cfg.quantized_inference + quantize_params_for_serving: the int8
+    serving forward agrees with the f32 forward on nearly all argmax
+    predictions and keeps logits close."""
+    import dataclasses
+
+    from vqa_project_tpu.models import GraphVQAModel
+    from vqa_project_tpu.ops.quant import quantize_params_for_serving
+
+    model, params = model_and_params
+    batch = make_batch(rng)
+    ref_logits = np.asarray(model.apply(params, *batch, train=False)[0])
+
+    qcfg = dataclasses.replace(model.cfg, quantized_inference=True)
+    qmodel = GraphVQAModel(cfg=qcfg)
+    qparams = quantize_params_for_serving(params)
+    q_logits = np.asarray(qmodel.apply(qparams, *batch, train=False)[0])
+
+    agree = (ref_logits.argmax(-1) == q_logits.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+    # logit error bounded relative to the logit scale
+    scale = np.abs(ref_logits).max()
+    assert np.abs(q_logits - ref_logits).max() / scale < 0.15
+
+
+def test_quantized_inference_rejects_train(model_and_params, rng):
+    import dataclasses
+
+    from vqa_project_tpu.models import GraphVQAModel
+    from vqa_project_tpu.ops.quant import quantize_params_for_serving
+
+    model, params = model_and_params
+    qcfg = dataclasses.replace(model.cfg, quantized_inference=True)
+    qmodel = GraphVQAModel(cfg=qcfg)
+    qparams = quantize_params_for_serving(params)
+    with pytest.raises(AssertionError):
+        qmodel.apply(qparams, *make_batch(rng), train=True,
+                     rngs={"dropout": jax.random.key(0)})

@@ -45,6 +45,10 @@ class ModelConfig:
     # this; GraphVQAModel also guards, for direct constructions).
     # True/False force.
     use_pallas: object = "auto"  # "auto" | True | False
+    # serving-only int8 projections (ops/quant.py): build the model
+    # with this on and apply it to quantize_params_for_serving(params).
+    # ~2x MXU rate on the two conv-projection GEMMs; train=True asserts.
+    quantized_inference: bool = False
 
 
 def resolve_use_pallas(flag) -> bool:

@@ -179,6 +179,10 @@ class GaussianGraphConv(nn.Module):
     use_alpha: bool = True
     use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # serving-only int8 projection (ops/quant.py): the module then
+    # declares (conv_kernels_q, conv_kernels_scale) instead of
+    # conv_kernels and expects a tree from quantize_params_for_serving
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -212,11 +216,21 @@ class GaussianGraphConv(nn.Module):
         # boundary) and ~40% MXU utilization on the weight gradient
         # (round-3 profile attack). Same iid init; torch_import concats
         # the reference's per-kernel Linears along columns.
-        conv_kernels = self.param(
-            "conv_kernels",
-            _torch_linear_init(self.in_dim),
-            (self.in_dim, self.out_dim),
-        )
+        if self.quantized:
+            assert not params_only, \
+                "merged-block kernel does not support quantized weights"
+            conv_q = self.param(
+                "conv_kernels_q", nn.initializers.zeros_init(),
+                (self.in_dim, self.out_dim), jnp.int8)
+            conv_scale = self.param(
+                "conv_kernels_scale", nn.initializers.ones_init(),
+                (self.out_dim,), jnp.float32)
+        else:
+            conv_kernels = self.param(
+                "conv_kernels",
+                _torch_linear_init(self.in_dim),
+                (self.in_dim, self.out_dim),
+            )
         if params_only:
             # the merged whole-block kernel (ops/pallas/graph_block.py)
             # consumes both convs' parameters directly in (n, in, d)
@@ -239,12 +253,19 @@ class GaussianGraphConv(nn.Module):
             # f32 compute triggers the kernel's exact-f32 dots via
             # _dot_precision) and the (B, K, nd) HBM round trip halves.
             cdt = jnp.dtype(self.compute_dtype)
-            proj = jnp.dot(
-                features.astype(cdt).reshape(b * k, -1),
-                conv_kernels.astype(cdt),
-                preferred_element_type=cdt,
-                precision=matmul_precision(self.compute_dtype)
-            ).reshape(b, k, -1)
+            if self.quantized:
+                from vqa_project_tpu.ops.quant import int8_matmul
+
+                proj = int8_matmul(
+                    features.reshape(b * k, -1), conv_q, conv_scale
+                ).astype(cdt).reshape(b, k, -1)
+            else:
+                proj = jnp.dot(
+                    features.astype(cdt).reshape(b * k, -1),
+                    conv_kernels.astype(cdt),
+                    preferred_element_type=cdt,
+                    precision=matmul_precision(self.compute_dtype)
+                ).reshape(b, k, -1)
             gparams = jnp.stack([mean_rho, mean_theta,
                                  precision_rho, precision_theta])
             interpret = _jax.devices()[0].platform != "tpu"
@@ -264,6 +285,17 @@ class GaussianGraphConv(nn.Module):
             precision_rho, precision_theta,
         )                                               # (B, K, K, n)
         edge_w = gw * selection[..., None]              # zero off-neighbourhood
+        if self.quantized:
+            from vqa_project_tpu.ops.quant import int8_matmul
+
+            b, k = features.shape[:2]
+            proj = int8_matmul(features.reshape(b * k, -1),
+                               conv_q, conv_scale)
+            proj = proj.astype(jnp.dtype(self.compute_dtype)).reshape(
+                b, k, self.n_kernels, -1)
+            return masked_graph_convolution(
+                features, edge_w, None,
+                compute_dtype=self.compute_dtype, proj=proj)
         return masked_graph_convolution(
             features, edge_w, conv_kernels, compute_dtype=self.compute_dtype
         )
@@ -421,15 +453,18 @@ class GraphVQAModel(nn.Module):
             seeds = jax.random.randint(
                 self.make_rng("dropout"), (image.shape[0],),
                 0, 2 ** 31 - 1, dtype=jnp.int32)
+        quantized = bool(getattr(cfg, "quantized_inference", False))
+        assert not (quantized and train), \
+            "quantized_inference is serving-only (no int8 backward)"
         conv1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, quantized=quantized,
             compute_dtype=cdt, name="graph_convolution_1")
         conv2 = GaussianGraphConv(
             cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=False,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, quantized=quantized,
             compute_dtype=cdt, name="graph_convolution_2")
 
         if use_pallas and on_tpu and os.environ.get(

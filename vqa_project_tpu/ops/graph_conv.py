@@ -70,6 +70,7 @@ def masked_graph_convolution(
     conv_kernels: jnp.ndarray,
     *,
     compute_dtype=jnp.bfloat16,
+    proj: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Project-then-aggregate graph convolution over dense edge weights.
 
@@ -97,11 +98,15 @@ def masked_graph_convolution(
     # step is HBM-bandwidth-bound (XLA cost analysis: 7.4 GB/step at
     # batch 256 vs 4 ms of FLOPs), and fp32 round-trips double the
     # traffic. The MXU still accumulates fp32 internally for bf16
-    # inputs; only the stored rounding changes.
-    proj = jnp.dot(features.astype(compute_dtype).reshape(b * k, -1),
-                   conv_kernels.astype(compute_dtype),
-                   preferred_element_type=compute_dtype,
-                   precision=prec).reshape(b, k, n_kernels, -1)  # (B,K,n,d)
+    # inputs; only the stored rounding changes. `proj=` accepts a
+    # precomputed (B, K, n, d) projection (the int8 serving path,
+    # ops/quant.py) and skips the dot here.
+    if proj is None:
+        proj = jnp.dot(
+            features.astype(compute_dtype).reshape(b * k, -1),
+            conv_kernels.astype(compute_dtype),
+            preferred_element_type=compute_dtype,
+            precision=prec).reshape(b, k, n_kernels, -1)  # (B,K,n,d)
     out = jnp.einsum("bijn,bjnd->bind",
                      edge_weights.astype(compute_dtype),
                      proj,
