@@ -73,6 +73,11 @@ class WeightNormDense(nn.Module):
     # HBM traffic on the bandwidth-bound step); pass float32 for outputs
     # feeding precision-sensitive math (e.g. the final logits).
     out_dtype: Optional[jnp.dtype] = None
+    # serving-only int8 weights (ops/quant.py): declares (v_q, v_scale)
+    # instead of (v, g) — the weight-norm column scale g/||v|| is folded
+    # into v_scale by quantize_params_for_serving. Row-slicing v_q for
+    # the split shared= dot stays valid (quantization is per COLUMN).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -93,6 +98,26 @@ class WeightNormDense(nn.Module):
         out_dtype = self.out_dtype or self.compute_dtype
         in_dim = x.shape[-1] + (shared.shape[-1] if shared is not None
                                 else 0)
+        if self.quantized:
+            from vqa_project_tpu.ops.quant import int8_matmul
+
+            q = self.param("v_q", nn.initializers.zeros_init(),
+                           (in_dim, self.features), jnp.int8)
+            v_scale = self.param("v_scale", nn.initializers.ones_init(),
+                                 (self.features,), jnp.float32)
+            d1 = x.shape[-1]
+            y = int8_matmul(x.reshape(-1, d1), q[:d1], v_scale
+                            ).reshape(*x.shape[:-1], self.features)
+            if shared is not None:
+                assert x.ndim == 3 and shared.ndim == 2, (
+                    "shared= expects x (B, K, d1) and shared (B, d2)")
+                y = y + int8_matmul(shared, q[d1:], v_scale)[:, None, :]
+            y = y.astype(out_dtype)
+            if self.use_bias:
+                b = self.param("b", _torch_linear_init(in_dim),
+                               (self.features,))
+                y = y + b.astype(out_dtype)
+            return y
         v = self.param("v", _torch_linear_init(in_dim), (in_dim, self.features))
 
         # g must equal ||v|| at init (torch weight_norm); the init fn
@@ -142,14 +167,17 @@ class GraphLearner(nn.Module):
 
     combined_dim: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, graph_nodes: jnp.ndarray,
                  shared: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = WeightNormDense(self.combined_dim, compute_dtype=self.compute_dtype,
+                            quantized=self.quantized,
                             name="edge_layer_1")(graph_nodes, shared=shared)
         h = nn.relu(h)
         h = WeightNormDense(self.combined_dim, compute_dtype=self.compute_dtype,
+                            quantized=self.quantized,
                             name="edge_layer_2")(h)
         h = nn.relu(h)
         adj = jnp.einsum(
@@ -351,6 +379,12 @@ class GraphVQAModel(nn.Module):
         # these are the largest activations
         image = image.astype(cdt)
 
+        # int8 serving (ops/quant.py): edge layers, conv projections and
+        # the classifier run int8 GEMMs; serving-only (no int8 backward)
+        quantized = bool(getattr(cfg, "quantized_inference", False))
+        assert not (quantized and train), \
+            "quantized_inference is serving-only (no int8 backward)"
+
         # --- feature dropout (applied to the full feat||bbox vector,
         #     matching sparse_graph_model.py:111) ---
         # VQAX_DROPOUT_BITS=8|16|32 draws the Bernoulli mask from
@@ -421,7 +455,8 @@ class GraphVQAModel(nn.Module):
         #     VQAX_SPLIT_SHARED=0 restores the concat formulation (A/B
         #     knob; both hit the same parameters). ---
         learner = GraphLearner(
-            cfg.combined_dim, compute_dtype=cdt, name="adjacency_1")
+            cfg.combined_dim, compute_dtype=cdt, quantized=quantized,
+            name="adjacency_1")
         if os.environ.get("VQAX_SPLIT_SHARED", "1") == "0":
             k = image.shape[1]
             qenc_rep = jnp.broadcast_to(
@@ -453,9 +488,6 @@ class GraphVQAModel(nn.Module):
             seeds = jax.random.randint(
                 self.make_rng("dropout"), (image.shape[0],),
                 0, 2 ** 31 - 1, dtype=jnp.int32)
-        quantized = bool(getattr(cfg, "quantized_inference", False))
-        assert not (quantized and train), \
-            "quantized_inference is serving-only (no int8 backward)"
         conv1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
             neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
@@ -515,12 +547,12 @@ class GraphVQAModel(nn.Module):
 
         # --- weight-norm classifier ---
         h1 = WeightNormDense(cfg.out_dim, compute_dtype=cdt,
-                             name="out_1")(fused)
+                             quantized=quantized, name="out_1")(fused)
         h1 = nn.relu(h1)
         h1 = nn.Dropout(rate=cfg.dropout, deterministic=not train)(h1)
         # logits stay fp32: they feed the softplus loss and argmax
         logits = WeightNormDense(cfg.out_dim, compute_dtype=cdt,
                                  out_dtype=jnp.float32,
-                                 name="out_2")(h1)
+                                 quantized=quantized, name="out_2")(h1)
 
         return logits, adjacency, h_max_indices

@@ -51,10 +51,22 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
 
 def quantize_params_for_serving(params):
     """Transform a trained param tree for a quantized_inference model:
-    each graph_convolution_*'s f32 conv_kernels leaf becomes
-    (conv_kernels_q int8, conv_kernels_scale f32). The result is what
-    GraphVQAModel(cfg with quantized_inference=True).apply expects."""
+
+    - each graph_convolution_*'s f32 conv_kernels leaf becomes
+      (conv_kernels_q int8, conv_kernels_scale f32);
+    - each weight-norm dense ({g, v[, b]}: the edge layers and the
+      classifier) becomes (v_q int8, v_scale f32, b) with the
+      weight-norm column scale g/||v|| FOLDED into v_scale — the
+      effective W = v * g/||v|| is what gets quantized, exactly.
+
+    The result is what GraphVQAModel(cfg with quantized_inference=True)
+    .apply expects."""
     from collections.abc import Mapping
+
+    import numpy as np
+
+    def _is_weight_norm(leaf):
+        return (isinstance(leaf, Mapping) and "g" in leaf and "v" in leaf)
 
     def _copy(d):
         if isinstance(d, Mapping):
@@ -64,11 +76,28 @@ def quantize_params_for_serving(params):
     tree = _copy(params)
     p = tree["params"] if "params" in tree else tree
     converted = 0
-    for name, leaf in p.items():
-        if name.startswith("graph_convolution") and "conv_kernels" in leaf:
-            q, s = quantize_weight(leaf.pop("conv_kernels"))
-            leaf["conv_kernels_q"] = q
-            leaf["conv_kernels_scale"] = s
-            converted += 1
-    assert converted, "no graph_convolution conv_kernels found"
+
+    def _walk(node):
+        nonlocal converted
+        for name, leaf in list(node.items()):
+            if not isinstance(leaf, Mapping):
+                continue
+            if "conv_kernels" in leaf:
+                q, s = quantize_weight(leaf.pop("conv_kernels"))
+                leaf["conv_kernels_q"] = q
+                leaf["conv_kernels_scale"] = s
+                converted += 1
+            elif _is_weight_norm(leaf):
+                v = np.asarray(leaf.pop("v"), np.float32)
+                g = np.asarray(leaf.pop("g"), np.float32)
+                wn = g / np.maximum(np.linalg.norm(v, axis=0), 1e-12)
+                q, s = quantize_weight(jnp.asarray(v))
+                leaf["v_q"] = q
+                leaf["v_scale"] = jnp.asarray(np.asarray(s) * wn,
+                                              jnp.float32)
+                converted += 1
+            else:
+                _walk(leaf)
+    _walk(p)
+    assert converted >= 3, f"only {converted} quantizable layers found"
     return tree
