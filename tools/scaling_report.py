@@ -76,11 +76,51 @@ def collect(hlo: str):
     return {kind: {"count": c, "bytes": b} for kind, (c, b) in out.items()}
 
 
+_MLIR_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "i32": 4,
+                     "ui32": 4, "i16": 2, "i8": 1, "ui8": 1, "i1": 1,
+                     "i64": 8}
+
+
+def collect_stablehlo(txt: str):
+    """Sum all_reduce bytes by element dtype from StableHLO text.
+
+    The PROGRAM-requested collective dtypes: the CPU backend's pipeline
+    promotes bf16 all-reduces to f32 accumulation (keeping the bf16
+    rounding — verified on the optimized HLO), so the optimized-HLO
+    count under-reports what a bf16 gradient reduction saves on TPU,
+    where bf16 all-reduce is native. shard_map psums appear verbatim at
+    this level; the inferred-sharding path has none here (GSPMD adds
+    its all-reduces during partitioning)."""
+    out = {}
+    lines = txt.splitlines()
+    for i, ln in enumerate(lines):
+        if "stablehlo.all_reduce" not in ln or "=" not in ln:
+            continue
+        # result types live on the `}) : (...) -> ...` closing line
+        for j in range(i, min(i + 80, len(lines))):
+            m = re.search(r"\}\)?\s*:\s*\([^)]*\)\s*->\s*(.+)$", lines[j])
+            if m:
+                for t in re.findall(r"tensor<([^>]+)>", m.group(1)):
+                    parts = t.split("x")
+                    dt = parts[-1]
+                    n = 1
+                    for d in parts[:-1]:
+                        n *= int(d)
+                    nbytes = n * _MLIR_DTYPE_BYTES.get(dt, 4)
+                    k = out.setdefault(dt, [0, 0])
+                    k[0] += 1
+                    k[1] += nbytes
+                break
+    return {dt: {"count": c, "bytes": b} for dt, (c, b) in out.items()}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--bsize", type=int, default=256)
+    ap.add_argument("--grad_reduce_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -134,11 +174,13 @@ def main():
         state = shard_state(state, mesh)
     else:
         state = replicate(state, mesh)
-    step = build_train_step(model, tx, mesh)
+    step = build_train_step(model, tx, mesh,
+                            grad_reduce_dtype=args.grad_reduce_dtype)
     sharded = shard_batch(batch, mesh)
 
     # host-mode step: cache_arrays is () — lower the jitted step directly
     lowered = step.jit_step.lower(state, sharded, ())
+    requested = collect_stablehlo(lowered.as_text())
     compiled = lowered.compile()
     hlo = compiled.as_text()
     stats = collect(hlo)
@@ -146,12 +188,20 @@ def main():
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(state.params))
     total_bytes = sum(v["bytes"] for v in stats.values())
+    requested_bytes = sum(v["bytes"] for v in requested.values())
+    if requested and requested_bytes < total_bytes:
+        # explicit shard_map psums whose dtype the CPU pipeline widened
+        # (bf16 all-reduce -> f32 accumulate); TPU executes the
+        # requested dtype natively, so IT is the honest ICI number
+        total_bytes = requested_bytes
     # per-chip ring all-reduce cost over one torus axis (2 links/dir):
     n = args.devices
     ici_s = (2 * (n - 1) / n) * total_bytes / (2 * ICI_BW_PER_LINK)
     report = {
         "devices": n,
         "tp": args.tp,
+        "grad_reduce_dtype": args.grad_reduce_dtype,
+        "collectives_requested_stablehlo": requested,
         "batch_per_chip": args.bsize // (n // args.tp) if args.tp > 1
         else args.bsize // n,
         "n_params": n_params,

@@ -79,6 +79,12 @@ def input_args(argv=None):
                         help="dtype of Adam's first moment (bfloat16 "
                              "halves its HBM traffic; float32 = exact "
                              "torch-Adam parity)")
+    parser.add_argument("--grad_reduce_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="dtype of the data-parallel gradient "
+                             "all-reduce (bfloat16 halves the per-step "
+                             "ICI bytes; float32 = bit-identical to "
+                             "single-device training)")
     parser.add_argument("--feature_cache_dtype", type=str,
                         default="auto",
                         choices=["auto", "bfloat16", "float32"],
@@ -125,7 +131,8 @@ def make_configs(args):
         feature_cache_dtype=args.feature_cache_dtype,
         pallas_gather={"on": True, "off": False}.get(
             args.pallas_gather, "auto"),
-        tp=args.tp, adam_mu_dtype=args.adam_mu_dtype)
+        tp=args.tp, adam_mu_dtype=args.adam_mu_dtype,
+        grad_reduce_dtype=args.grad_reduce_dtype)
     return mcfg, tcfg
 
 

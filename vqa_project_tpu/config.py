@@ -122,6 +122,15 @@ class TrainConfig:
     # large-scale practice). float32 default = exact torch-Adam parity
     # (run.py:172); torch-checkpoint import casts exp_avg to this dtype.
     adam_mu_dtype: str = "float32"  # float32 | bfloat16
+    # dtype of the data-parallel gradient all-reduce. float32 (default)
+    # = the inferred-sharding jit path, bit-identical across device
+    # counts. bfloat16 = explicit shard_map psum of bf16 gradients
+    # (train/steps.py::_build_bf16_reduce_step): halves the per-step
+    # ICI bytes (112.8 -> 56.4 MB at real dims per scaling_report) at
+    # the cost of rounding each shard's contribution to bf16. Standard
+    # large-scale practice; opt-in because defaults keep exactness.
+    # Requires tp=1 and a replicated (or host-mode) feature cache.
+    grad_reduce_dtype: str = "float32"  # float32 | bfloat16
 
 
 @dataclasses.dataclass

@@ -14,6 +14,20 @@ import jax
 import jax.numpy as jnp
 
 
+def soft_margin_per_sample(logits: jnp.ndarray,
+                           targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample class-mean of the soft-target BCE-with-logits, (B,).
+
+    The elementwise core of multilabel_soft_margin_loss, exposed so the
+    data-parallel bf16-reduction step can apply its own (global-count)
+    batch reduction without duplicating the numerics.
+    """
+    x = logits.astype(jnp.float32)
+    y = targets.astype(jnp.float32)
+    elem = y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
+    return jnp.mean(elem, axis=-1)
+
+
 def multilabel_soft_margin_loss(
     logits: jnp.ndarray, targets: jnp.ndarray,
     sample_mask: jnp.ndarray = None,
@@ -33,10 +47,7 @@ def multilabel_soft_margin_loss(
     Returns:
       scalar float32 loss.
     """
-    x = logits.astype(jnp.float32)
-    y = targets.astype(jnp.float32)
-    elem = y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
-    per_sample = jnp.mean(elem, axis=-1)
+    per_sample = soft_margin_per_sample(logits, targets)
     if sample_mask is None:
         return jnp.mean(per_sample)
     m = sample_mask.astype(jnp.float32)

@@ -219,9 +219,12 @@ def fit(
         start_epoch, state = _resume_checkpoint(resume_path, state)
     state = _place_state(state, mesh, train_cfg)
 
-    train_step = build_train_step(model, tx, mesh, feature_cache=cache,
-                                  n_answers=train_ds.n_answers,
-                                  pallas_gather=train_cfg.pallas_gather)
+    train_step = build_train_step(
+        model, tx, mesh, feature_cache=cache,
+        n_answers=train_ds.n_answers,
+        pallas_gather=train_cfg.pallas_gather,
+        grad_reduce_dtype=getattr(train_cfg, "grad_reduce_dtype",
+                                  "float32"))
     eval_step = None
     val_iter = None
     if val_ds is not None:

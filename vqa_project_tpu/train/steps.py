@@ -203,13 +203,26 @@ def sparse_or_dense_score(logits, batch, mask=None):
 def build_train_step(model, tx, mesh,
                      feature_cache=None,
                      n_answers: Optional[int] = None,
-                     pallas_gather=False) -> Callable:
+                     pallas_gather=False,
+                     grad_reduce_dtype: str = "float32") -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     feature_cache: None (host mode), a (features, boxes) replicated
     tuple, or a ShardedFeatureCache; with a cache, batches carry
     image_row / sparse labels instead of dense tensors.
+
+    grad_reduce_dtype: dtype of the data-parallel gradient all-reduce.
+    "float32" (default) keeps the inferred-sharding jit path — exact,
+    bit-identical across device counts. "bfloat16" switches to the
+    explicit shard_map step (_build_bf16_reduce_step) that psums the
+    gradient in bf16, halving the per-step ICI bytes.
     """
+    if grad_reduce_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"grad_reduce_dtype must be float32|bfloat16, "
+                         f"got {grad_reduce_dtype!r}")
+    if grad_reduce_dtype == "bfloat16" and mesh.devices.size > 1:
+        return _build_bf16_reduce_step(model, tx, mesh, feature_cache,
+                                       n_answers, pallas_gather)
     # mesh is only needed to pin the Pallas DMA gather per-chip via
     # shard_map; everything else carries sharding by the arguments
     image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather,
@@ -309,6 +322,106 @@ def build_eval_step(model, mesh,
 
     def wrapper(params, batch):
         return jit_step(params, batch, cache_arrays)
+
+    wrapper.jit_step = jit_step
+    wrapper.cache_arrays = cache_arrays
+    return wrapper
+
+
+def _build_bf16_reduce_step(model, tx, mesh, feature_cache, n_answers,
+                            pallas_gather) -> Callable:
+    """Train step with an EXPLICIT bfloat16 gradient all-reduce.
+
+    Why this exists: under the default inferred-sharding jit, GSPMD
+    places the DP all-reduce at the partial weight-gradient dots, whose
+    outputs are f32 — the step moves the full f32 gradient (112.8 MB at
+    real dims, tools/scaling_report.py) over ICI, and casting grads
+    AFTER value_and_grad cannot move that reduce (verified on the AOT
+    HLO: the all-reduces stay f32). Controlling the reduction dtype
+    requires owning the reduction, so this builder computes per-shard
+    gradients under shard_map and reduces them itself with
+    psum(g.astype(bf16)) — halving the collective bytes (~56 MB,
+    ~1.1 ms on a v5e-8 ring vs ~2.2 ms). bf16 gradient reduction is
+    standard large-scale practice; the reference is single-GPU and has
+    no counterpart (SURVEY.md "Parallelism").
+
+    Exactness notes (why it is opt-in, not the default):
+    - each shard's gradient contribution rounds to bf16 before the sum
+      (the f32 path's metrics/updates are otherwise reproduced exactly:
+      the local masked loss SUM is scaled by the GLOBAL valid count, so
+      psum(grad) equals the global-mean gradient up to that rounding);
+    - the dropout stream folds in the data-axis index so shards
+      decorrelate, which is not bit-identical to the global-jit stream;
+    - supports the 1-D data mesh with a replicated (or host) feature
+      cache; tp>1 and the mesh-sharded cache keep f32 reduction.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from vqa_project_tpu.ops.losses import soft_margin_per_sample
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError("grad_reduce_dtype=bfloat16 supports the 1-D "
+                         "data mesh only (use tp=1)")
+    if feature_cache is not None and not isinstance(feature_cache, tuple):
+        raise ValueError("grad_reduce_dtype=bfloat16 needs a replicated "
+                         "device feature cache or host-mode batches "
+                         "(the mesh-sharded cache keeps f32 reduction)")
+    axis = mesh.axis_names[0]
+    # mesh=None: the row gather runs per-chip INSIDE this step's own
+    # shard_map, so the per-chip (non-shard_map) kernel is the right one
+    image_fn, cache_arrays = make_image_fn(feature_cache, pallas_gather,
+                                           None)
+
+    def local_grads(params, batch, cache, drop_rng):
+        drop_rng = jax.random.fold_in(drop_rng, jax.lax.axis_index(axis))
+        question, image, qlen, answers_fn, score_fn = _assemble_inputs(
+            batch, image_fn, cache, n_answers)
+        answers = answers_fn()
+        mask = batch["mask"]
+        nvalid = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis)
+        denom = jnp.maximum(nvalid, 1.0)
+
+        def loss_fn(p):
+            logits, _, _ = model.apply(
+                p, question, image, qlen,
+                train=True, rngs={"dropout": drop_rng})
+            per_sample = soft_margin_per_sample(logits, answers)
+            per_sample = jnp.where(mask > 0, per_sample, 0.0)
+            return jnp.sum(per_sample) / denom, logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g.astype(jnp.bfloat16), axis)
+            .astype(jnp.float32), grads)
+        return (grads, jax.lax.psum(loss, axis),
+                jax.lax.psum(score_fn(logits, mask), axis), nvalid)
+
+    grads_sm = shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], cache
+             ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, drop_rng = jax.random.split(state.rng)
+        grads, loss, score, valid = grads_sm(
+            state.params, batch, cache, drop_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, {"loss": loss, "score": score, "valid": valid}
+
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
+    def wrapper(state, batch):
+        return jit_step(state, batch, cache_arrays)
 
     wrapper.jit_step = jit_step
     wrapper.cache_arrays = cache_arrays
