@@ -95,6 +95,7 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
     tcfg = TrainConfig(
         batch_size=bsize,
         adam_mu_dtype=os.environ.get("BENCH_ADAM_MU_DTYPE", "float32"),
+        adam_nu_dtype=os.environ.get("BENCH_ADAM_NU_DTYPE", "float32"),
         feature_cache_dtype=os.environ.get("BENCH_FEATURE_DTYPE",
                                            "auto"),
         pallas_gather={"1": True, "0": False}.get(

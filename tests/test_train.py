@@ -270,6 +270,56 @@ def test_bf16_adam_mu_still_learns(data_dir):
         assert leaf.dtype == jnp.bfloat16
 
 
+def test_bf16_adam_nu_still_learns(data_dir):
+    """adam_nu_dtype=bfloat16 (half the second-moment HBM traffic) must
+    not break training: the synthetic task still converges and the
+    optimizer state actually stores nu in bf16 (mu stays f32)."""
+    import jax.numpy as jnp
+    import optax
+
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    tcfg = TrainConfig(lr=5e-3, epochs=25, batch_size=32, eval_interval=0,
+                       log_interval=1000, adam_nu_dtype="bfloat16")
+    _, state, acc = fit(tcfg, MODEL_CFG, ds)
+    assert acc > 60.0, acc
+    adam_states = [
+        s for s in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(
+                x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states
+    for leaf in jax.tree.leaves(adam_states[0].nu):
+        assert leaf.dtype == jnp.bfloat16
+    for leaf in jax.tree.leaves(adam_states[0].mu):
+        assert leaf.dtype == jnp.float32
+
+
+def test_bf16_adam_nu_first_update_exact(data_dir):
+    """The nu_dtype wrapper changes STORAGE only: from a fresh init
+    (nu = 0, exact in bf16) one update must be bit-identical to plain
+    f32 optax.adam — the f32 update math sees the same upcast nu."""
+    import jax.numpy as jnp
+    import optax
+
+    grads = {"w": jnp.asarray([[0.25, -3.0e-4], [1.5, 0.0]], jnp.float32),
+             "b": jnp.asarray([1.0e-3, -7.0], jnp.float32)}
+    params = jax.tree.map(jnp.zeros_like, grads)
+    ref = optax.adam(1e-3)
+    wrapped = make_optimizer(
+        TrainConfig(lr=1e-3, lr_milestones=(), adam_nu_dtype="bfloat16"),
+        steps_per_epoch=10)
+    ref_up, _ = ref.update(grads, ref.init(params), params)
+    got_up, new_state = wrapped.update(grads, wrapped.init(params), params)
+    for a, b in zip(jax.tree.leaves(ref_up), jax.tree.leaves(got_up)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    nus = [s.nu for s in jax.tree.leaves(
+               new_state, is_leaf=lambda x: isinstance(
+                   x, optax.ScaleByAdamState))
+           if isinstance(s, optax.ScaleByAdamState)]
+    assert {l.dtype for l in jax.tree.leaves(nus)} == {
+        jnp.dtype(jnp.bfloat16)}
+
+
 def test_bf16_feature_cache_still_learns(data_dir):
     """Storing the device feature table in bfloat16 (half HBM) must not
     break training."""

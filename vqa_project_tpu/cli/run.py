@@ -74,17 +74,33 @@ def input_args(argv=None):
                              "per parallel/tp.py)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--adam_mu_dtype", type=str, default="float32",
+    parser.add_argument("--adam_mu_dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="dtype of Adam's first moment (bfloat16 "
                              "halves its HBM traffic; float32 = exact "
-                             "torch-Adam parity)")
-    parser.add_argument("--grad_reduce_dtype", type=str, default="float32",
+                             "torch-Adam parity; default float32, or "
+                             "bfloat16 under --fast_math)")
+    parser.add_argument("--adam_nu_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype of Adam's second moment "
+                             "(update math stays f32; bfloat16 halves "
+                             "nu's HBM traffic; default float32, or "
+                             "bfloat16 under --fast_math)")
+    parser.add_argument("--grad_reduce_dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="dtype of the data-parallel gradient "
                              "all-reduce (bfloat16 halves the per-step "
                              "ICI bytes; float32 = bit-identical to "
-                             "single-device training)")
+                             "single-device training; default float32, "
+                             "or bfloat16 under --fast_math when tp=1)")
+    parser.add_argument("--fast_math", action="store_true",
+                        help="preset: flip every opt-in bf16 STORAGE "
+                             "knob left unset (adam_mu_dtype, "
+                             "adam_nu_dtype, and — on a pure-DP mesh — "
+                             "grad_reduce_dtype) to bfloat16. Update "
+                             "math stays f32; trades exact torch-Adam "
+                             "parity for HBM/ICI bandwidth. An explicit "
+                             "--*_dtype always wins over the preset")
     parser.add_argument("--feature_cache_dtype", type=str,
                         default="auto",
                         choices=["auto", "bfloat16", "float32"],
@@ -115,7 +131,21 @@ def input_args(argv=None):
     return args, parser, unparsed
 
 
+def resolve_dtype_knobs(args):
+    """Resolve the three opt-in bf16 storage knobs: explicit flag >
+    --fast_math preset > float32. grad_reduce bf16 needs the 1-D data
+    mesh + replicated cache (train/steps.py:363-372) — the CLI's cache
+    is always replicated, so the preset gates it on tp == 1 only."""
+    fast = getattr(args, "fast_math", False)
+    mu = args.adam_mu_dtype or ("bfloat16" if fast else "float32")
+    nu = args.adam_nu_dtype or ("bfloat16" if fast else "float32")
+    grad = args.grad_reduce_dtype or (
+        "bfloat16" if fast and getattr(args, "tp", 1) == 1 else "float32")
+    return mu, nu, grad
+
+
 def make_configs(args):
+    mu_dtype, nu_dtype, grad_dtype = resolve_dtype_knobs(args)
     mcfg = ModelConfig(
         emb_dim=args.emb, hid_dim=args.hid, n_kernels=args.n_kernels,
         neighbourhood_size=args.neighbourhood_size, n_obj=args.n_obj,
@@ -131,8 +161,9 @@ def make_configs(args):
         feature_cache_dtype=args.feature_cache_dtype,
         pallas_gather={"on": True, "off": False}.get(
             args.pallas_gather, "auto"),
-        tp=args.tp, adam_mu_dtype=args.adam_mu_dtype,
-        grad_reduce_dtype=args.grad_reduce_dtype)
+        tp=args.tp, adam_mu_dtype=mu_dtype,
+        adam_nu_dtype=nu_dtype,
+        grad_reduce_dtype=grad_dtype)
     return mcfg, tcfg
 
 

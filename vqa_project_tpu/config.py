@@ -122,6 +122,15 @@ class TrainConfig:
     # large-scale practice). float32 default = exact torch-Adam parity
     # (run.py:172); torch-checkpoint import casts exp_avg to this dtype.
     adam_mu_dtype: str = "float32"  # float32 | bfloat16
+    # dtype of Adam's SECOND moment (storage only). The update math
+    # still runs in f32 — the stored nu is upcast before optax's exact
+    # scale_by_adam step and the fresh nu rounded back down after
+    # (train/state.py::_with_nu_dtype) — so the only deviation from
+    # torch Adam is one bf16 rounding of nu per step (~0.4% relative,
+    # ~0.2% on the rsqrt denominator). Halves nu's HBM read+write.
+    # float32 default = exact parity; bfloat16 is the opt-in trade the
+    # round-3 profile names (moment traffic is pure HBM bandwidth).
+    adam_nu_dtype: str = "float32"  # float32 | bfloat16
     # dtype of the data-parallel gradient all-reduce. float32 (default)
     # = the inferred-sharding jit path, bit-identical across device
     # counts. bfloat16 = explicit shard_map psum of bf16 gradients

@@ -46,11 +46,42 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     """Adam with the MultiStep schedule (run.py:172,188). torch Adam
-    defaults (betas 0.9/0.999, eps 1e-8) match optax; adam_mu_dtype
-    optionally stores the first moment in bfloat16 (see config.py)."""
+    defaults (betas 0.9/0.999, eps 1e-8) match optax; adam_mu_dtype /
+    adam_nu_dtype optionally store the moments in bfloat16 (see
+    config.py)."""
     sched = make_lr_schedule(cfg, max(steps_per_epoch, 1))
     mu_dtype = getattr(cfg, "adam_mu_dtype", "float32")
-    return optax.adam(learning_rate=sched, mu_dtype=mu_dtype)
+    tx = optax.adam(learning_rate=sched, mu_dtype=mu_dtype)
+    nu_dtype = getattr(cfg, "adam_nu_dtype", "float32")
+    if nu_dtype != "float32":
+        tx = _with_nu_dtype(tx, jnp.dtype(nu_dtype))
+    return tx
+
+
+def _with_nu_dtype(inner, nu_dtype):
+    """Store Adam's second moment in `nu_dtype` without changing the
+    update math: the stored nu is upcast to f32 before the wrapped
+    transform's exact step and the fresh f32 nu rounded back down for
+    storage. optax.adam has no nu_dtype (only mu_dtype), so this wraps
+    the whole chain and rewrites the ScaleByAdamState nodes in place."""
+    def _map_nu(state, fn):
+        return jax.tree.map(
+            lambda s: (s._replace(nu=jax.tree.map(fn, s.nu))
+                       if isinstance(s, optax.ScaleByAdamState) else s),
+            state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+
+    def init(params):
+        return _map_nu(inner.init(params),
+                       lambda x: x.astype(nu_dtype))
+
+    def update(updates, state, params=None):
+        st = _map_nu(state, lambda x: x.astype(jnp.float32))
+        new_updates, new_state = inner.update(updates, st, params)
+        return new_updates, _map_nu(new_state,
+                                    lambda x: x.astype(nu_dtype))
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_train_state(model, model_cfg: ModelConfig, tx,
