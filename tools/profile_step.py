@@ -59,7 +59,8 @@ def capture(args) -> str:
                        use_pallas=(False if args.no_pallas else "auto"))
     tcfg = TrainConfig(
         batch_size=args.bsize,
-        adam_mu_dtype=os.environ.get("BENCH_ADAM_MU_DTYPE", "float32"))
+        adam_mu_dtype=os.environ.get("BENCH_ADAM_MU_DTYPE", "float32"),
+        adam_nu_dtype=os.environ.get("BENCH_ADAM_NU_DTYPE", "float32"))
     model = build_model(mcfg, ds)
     mesh = make_mesh()
     cache = make_feature_cache(ds, mesh, tcfg, mcfg.compute_dtype)

@@ -100,7 +100,15 @@ class TrainConfig:
     # anyway (boxes are stored separately in f32, so pseudo-coords are
     # unaffected), and a bf16 table halves HBM residency AND the
     # per-step gather traffic — mathematically identical model inputs.
-    feature_cache_dtype: str = "auto"      # auto | float32 | bfloat16
+    # "int8": per-box-row symmetric quantization of the table
+    # (ops/quant.py::quantize_feature_table; scale = absmax/127, max
+    # element error ~0.4% of the row absmax). Dequantization happens on
+    # device right after the row gather and fuses into the projection's
+    # operand read. Quarters table residency vs f32 / halves vs bf16 —
+    # the real 123k-image table (18.4 GB bf16) fits ONE v5e chip at
+    # 9.2 GB int8 instead of needing the mesh-sharded cache. Opt-in:
+    # it quantizes the model INPUTS (the other dtypes are exact).
+    feature_cache_dtype: str = "auto"  # auto | float32 | bfloat16 | int8
     # Row-gather strategy for the device feature cache.
     # "auto" (default): on TPU, pack the table once into a tile-aligned
     #   view and serve each step's gather with the ring-buffered

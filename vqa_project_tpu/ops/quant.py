@@ -101,3 +101,28 @@ def quantize_params_for_serving(params):
     _walk(p)
     assert converted >= 3, f"only {converted} quantizable layers found"
     return tree
+
+
+def quantize_feature_table(feats):
+    """Per-box-row symmetric int8 for the device FEATURE cache.
+
+    (N, K, F) -> (q int8 (N, K, F), scale f32 (N, K)) with
+    feats ~= q * scale[..., None]; max abs error scale/2 per element
+    (~0.4% of the row's absmax). Host-side numpy on purpose: it runs
+    once at cache-build time over a potentially multi-GB table, with no
+    device round trip. All-zero rows (padding boxes in variable-n_obj
+    medical tables) get scale 1 so they quantize to exact zeros.
+
+    The row granularity matches the model's consumption: each box row
+    feeds the same projection, and RCNN activations are non-negative
+    with per-box dynamic range, so per-box absmax wastes no codes on
+    cross-box range mismatch.
+    """
+    import numpy as np
+
+    feats = np.asarray(feats, np.float32)
+    scale = np.abs(feats).max(axis=2) / 127.0
+    scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
+    q = np.clip(np.rint(feats / scale[..., None]), -127,
+                127).astype(np.int8)
+    return q, scale

@@ -63,6 +63,45 @@ def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
     return GraphVQAModel(cfg=cfg, pretrained_wemb=ds.pretrained_wemb)
 
 
+def _make_int8_cache(store, mesh, train_cfg, compute_dtype):
+    """Replicated int8 row-quantized feature cache, or None if even the
+    int8 table exceeds the per-chip budget (steps.QuantizedFeatureCache
+    documents the why: 9.2 GB vs 18.4 GB bf16 at the real 123k-image
+    table — single-chip residency). Replicated-only: the mesh-sharded
+    cache keeps full precision (its tables are already per-chip-sized).
+    """
+    import jax.numpy as jnp
+
+    from vqa_project_tpu.ops.quant import quantize_feature_table
+    from vqa_project_tpu.train.steps import QuantizedFeatureCache
+
+    feats = np.asarray(store.features)
+    n, k, _ = feats.shape
+    nbytes = feats.size + n * k * 4 + store.boxes.nbytes
+    if nbytes > train_cfg.device_cache_bytes:
+        print(f"int8 feature table {nbytes / 1e9:.1f} GB still exceeds "
+              "the device cache budget; using the sharded/host modes "
+              "at the compute dtype", flush=True)
+        return None
+    q, scales = quantize_feature_table(feats)
+    kf = None
+    if getattr(train_cfg, "pallas_gather", False):
+        import jax as _jax
+
+        from vqa_project_tpu.ops.pallas.gather_rows import (
+            pack_table, packable)
+        if (_jax.default_backend() == "tpu"
+                and packable(q.shape, q.dtype)):
+            _, kk, ff = q.shape
+            q = pack_table(q)
+            kf = (kk, ff)
+    return QuantizedFeatureCache(
+        features=replicate(jnp.asarray(q), mesh),
+        scales=replicate(jnp.asarray(scales), mesh),
+        boxes=replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
+        kf=kf, out_dtype=compute_dtype or "float32")
+
+
 def make_feature_cache(ds: GraphVQADataset, mesh,
                        train_cfg: TrainConfig,
                        compute_dtype: Optional[str] = None):
@@ -84,6 +123,13 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
     store = ds.store
     cache_dtype = train_cfg.feature_cache_dtype
     if cache_dtype == "auto":
+        cache_dtype = compute_dtype or "float32"
+    if cache_dtype == "int8":
+        qc = _make_int8_cache(store, mesh, train_cfg, compute_dtype)
+        if qc is not None:
+            return qc
+        # int8 doesn't fit replicated either: fall through to the
+        # sharded/host modes at the compute dtype
         cache_dtype = compute_dtype or "float32"
     dtype = np.dtype(cache_dtype)
     nbytes = (store.features.size * dtype.itemsize + store.boxes.nbytes)

@@ -23,13 +23,39 @@ Ingest modes:
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from vqa_project_tpu.ops import multilabel_soft_margin_loss
 from vqa_project_tpu.train.state import TrainState
+
+
+class QuantizedFeatureCache(NamedTuple):
+    """int8 device feature table + per-box dequantization scales.
+
+    The reference's zarr table is f32 RCNN features (the model input at
+    torch_dataset.py:148-154); on TPU the table is pure HBM residency
+    and gather traffic, so an int8 row-quantized copy (q = round(x /
+    scale), scale = per-box absmax/127) quarters residency vs f32 and
+    halves it vs bf16 — at the real 123k-image scale (18.4 GB bf16)
+    that is the difference between fitting one v5e chip (9.2 GB int8)
+    and needing the mesh-sharded cache. Dequantization runs inside the
+    step right after the row gather (make_image_fn) and fuses into the
+    first projection's operand read; the model sees `out_dtype`
+    features and is unchanged. Opt-in: feature_cache_dtype="int8".
+
+    NamedTuple (not dataclass) on purpose: the replicated-cache
+    isinstance(x, tuple) checks in loop.py/bench.py stay true, so the
+    resident-eval and bf16-reduce fast paths apply unchanged.
+    """
+
+    features: object   # (N, K, F) int8, or packed (N, S, K*F/S) view
+    scales: object     # (N, K) float32 per-box scale
+    boxes: object      # (N, K, 4) float32
+    kf: object         # None, or (K, F) when `features` is packed
+    out_dtype: str     # dequantization target (the compute dtype)
 
 
 def densify_labels(idx: jnp.ndarray, val: jnp.ndarray,
@@ -63,6 +89,70 @@ def sparse_vqa_score(logits: jnp.ndarray, vote_idx: jnp.ndarray,
     return jnp.sum(score)
 
 
+def _pin_per_chip(gather_local, mesh, data_axis):
+    """Pin a (table, rows) -> rows-batched gather per-chip via shard_map.
+
+    SPMD has no native partitioning rule for a Pallas custom call;
+    shard_map runs it per-chip (table replicated, rows/output
+    batch-sharded — the same layout the jnp.take path gets from XLA's
+    gather rules). Identity on a single-device (or absent) mesh.
+    Batches always shard over the FIRST mesh axis (the data axis by
+    construction in mesh.py / tp.py), so a non-default
+    TrainConfig.data_axis resolves correctly without every builder
+    threading the name through.
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        return gather_local
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    batch_spec = P(data_axis or mesh.axis_names[0])
+    return shard_map(gather_local, mesh=mesh,
+                     in_specs=(P(), batch_spec),
+                     out_specs=batch_spec, check_vma=False)
+
+
+def _make_quantized_image_fn(qcache: QuantizedFeatureCache, mesh,
+                             data_axis):
+    """image_fn for the int8 row-quantized table (see the NamedTuple).
+
+    Gathers int8 rows (ring-DMA kernel when the table was packed, else
+    jnp.take), gathers the (B, K) scales, and dequantizes in f32 before
+    casting to the compute dtype — int8 values are exact in f32 AND
+    bf16 (<= 8 mantissa bits), so the only rounding beyond quantization
+    itself is the final cast, same as the bf16-table path. XLA fuses
+    the dequant multiply into the gather consumer; it never hits HBM
+    as a separate pass.
+    """
+    out_dt = jnp.dtype(qcache.out_dtype)
+
+    if qcache.kf is not None:
+        from vqa_project_tpu.ops.pallas.gather_rows import gather_rows_dma
+
+        k, f = qcache.kf
+
+        def gather_local(features, rows):
+            feats = gather_rows_dma(features, rows)
+            return feats.reshape(rows.shape[0], k, f)
+
+        gather_local = _pin_per_chip(gather_local, mesh, data_axis)
+    else:
+        def gather_local(features, rows):
+            return jnp.take(features, rows, axis=0, mode="clip")
+
+    def image_fn(cache, rows):
+        features, scales, boxes = cache
+        q = gather_local(features, rows)
+        sc = jnp.take(scales, rows, axis=0, mode="clip")
+        feats = (q.astype(jnp.float32) * sc[:, :, None]).astype(out_dt)
+        return feats, jnp.take(boxes, rows, axis=0, mode="clip")
+
+    return image_fn, (qcache.features, qcache.scales, qcache.boxes)
+
+
 def make_image_fn(feature_cache, pallas_gather=False, mesh=None,
                   data_axis: Optional[str] = None):
     """Normalize the cache argument into (image_fn, cache_arrays).
@@ -80,6 +170,8 @@ def make_image_fn(feature_cache, pallas_gather=False, mesh=None,
     HTTP 413, and XLA may duplicate constants in HBM)."""
     if feature_cache is None:
         return None, ()
+    if isinstance(feature_cache, QuantizedFeatureCache):
+        return _make_quantized_image_fn(feature_cache, mesh, data_axis)
     if isinstance(feature_cache, tuple):
         if len(feature_cache) == 3:
             # (packed_features, boxes, (k, f)) from make_feature_cache:
@@ -96,26 +188,7 @@ def make_image_fn(feature_cache, pallas_gather=False, mesh=None,
                 feats = gather_rows_dma(features, rows)
                 return feats.reshape(rows.shape[0], k, f)
 
-            if mesh is not None and mesh.devices.size > 1:
-                # SPMD has no native partitioning rule for a Pallas
-                # custom call; shard_map pins it per-chip (table
-                # replicated, rows/output batch-sharded — same layout
-                # the take path gets from XLA's gather rules).
-                from jax.sharding import PartitionSpec as P
-                try:
-                    from jax import shard_map
-                except ImportError:  # older jax
-                    from jax.experimental.shard_map import shard_map
-
-                # batches always shard over the FIRST mesh axis (the
-                # data axis by construction in mesh.py / tp.py), so a
-                # non-default TrainConfig.data_axis resolves correctly
-                # without every builder threading the name through
-                batch_spec = P(data_axis or mesh.axis_names[0])
-                gather_local = shard_map(
-                    gather_local, mesh=mesh,
-                    in_specs=(P(), batch_spec),
-                    out_specs=batch_spec, check_vma=False)
+            gather_local = _pin_per_chip(gather_local, mesh, data_axis)
 
             def image_fn(cache, rows):
                 features, boxes = cache
