@@ -1,0 +1,128 @@
+"""Multi-host (multi-process) support tests on the virtual 8-device mesh.
+
+A real pod launch runs one process per host; that cannot be simulated in
+a single pytest process, so these tests validate the exact per-host code
+path instead: VQAX_FORCE_GLOBAL_ARRAYS=1 swaps every placement from
+jax.device_put to parallel.multihost.put_global
+(jax.make_array_from_callback), which is what each pod process executes.
+With all devices addressable the two placements must be bit-identical —
+any divergence here would be a real multi-host feeding bug.
+
+The reference has no distributed support at all (SURVEY.md section 2:
+DataParallel only as commented-out code, run.py:387-390); this subsystem
+is TPU-native surplus.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vqa_project_tpu.config import ModelConfig, TrainConfig
+from vqa_project_tpu.data import Batcher, GraphVQADataset
+from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+from vqa_project_tpu.parallel import make_mesh, multihost, shard_batch
+from vqa_project_tpu.parallel.sharded_cache import ShardedFeatureCache
+from vqa_project_tpu.train.loop import evaluate, fit
+
+MODEL_CFG = ModelConfig(
+    emb_dim=24, hid_dim=32, combined_dim=16, n_kernels=4,
+    neighbourhood_size=4, dropout=0.1, max_qlen=10,
+    compute_dtype="float32", use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_mh")
+    generate_synthetic_vqa(
+        str(d), n_images=16, n_questions=256, n_obj=8, feat_dim=24,
+        q_vocab=20, n_answers=8)
+    return str(d)
+
+
+def _ds(data_dir, split="train"):
+    return GraphVQADataset.vqa2(data_dir, split, n_obj=8, max_qlen=10)
+
+
+def test_single_process_defaults():
+    assert not multihost.is_multiprocess()
+    assert multihost.is_primary()
+    assert not multihost.maybe_initialize_distributed()
+    assert multihost.local_batch_rows(32) == slice(0, 32)
+
+
+def test_put_global_matches_device_put(data_dir, monkeypatch):
+    ds = _ds(data_dir)
+    mesh = make_mesh()
+    batch = next(iter(Batcher(ds, 32)))
+    base = shard_batch(batch, mesh)
+    monkeypatch.setenv("VQAX_FORCE_GLOBAL_ARRAYS", "1")
+    assert multihost.is_multiprocess()
+    forced = shard_batch(batch, mesh)
+    for k in base:
+        assert forced[k].sharding == base[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(forced[k]),
+                                      np.asarray(base[k]), err_msg=k)
+
+
+def test_sharded_cache_build_forced_global(data_dir, monkeypatch):
+    ds = _ds(data_dir)
+    mesh = make_mesh()
+    base = ShardedFeatureCache.build(ds.store, mesh)
+    monkeypatch.setenv("VQAX_FORCE_GLOBAL_ARRAYS", "1")
+    forced = ShardedFeatureCache.build(ds.store, mesh)
+    np.testing.assert_array_equal(np.asarray(forced.features),
+                                  np.asarray(base.features))
+    np.testing.assert_array_equal(np.asarray(forced.boxes),
+                                  np.asarray(base.boxes))
+    assert forced.features.sharding == base.features.sharding
+
+
+@pytest.fixture(scope="module")
+def trained(data_dir, tmp_path_factory):
+    """One baseline fit (default placement) shared by the parity tests.
+
+    Trained params matter for the eval test: an untrained argmax can
+    land on the unused '+1' answer slot (n_answers = len(a_itow) + 1,
+    reference parity torch_dataset.py:54,117), which has no a_itow entry
+    — the reference's eval would KeyError the same way."""
+    assert "VQAX_FORCE_GLOBAL_ARRAYS" not in os.environ
+    tcfg = TrainConfig(lr=5e-3, epochs=4, batch_size=32, eval_interval=0,
+                       save_dir=str(tmp_path_factory.mktemp("mh_ckpt")),
+                       log_interval=1000)
+    model, state, acc = fit(tcfg, MODEL_CFG, _ds(data_dir))
+    return model, jax.tree.map(np.asarray, state.params), acc, tcfg
+
+
+def test_fit_bit_identical_forced_global(data_dir, tmp_path, trained,
+                                         monkeypatch):
+    """The same fit() (replicate + shard_batch + train_step) must
+    produce bit-identical parameters under the multi-host array
+    assembly — same rows, same shardings, same arithmetic."""
+    _, p_base, acc_base, tcfg0 = trained
+    monkeypatch.setenv("VQAX_FORCE_GLOBAL_ARRAYS", "1")
+    tcfg = TrainConfig(lr=tcfg0.lr, epochs=tcfg0.epochs, batch_size=32,
+                       eval_interval=0, save_dir=str(tmp_path),
+                       log_interval=1000)
+    _, state, acc_forced = fit(tcfg, MODEL_CFG, _ds(data_dir))
+    assert acc_forced == acc_base
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.tree.map(np.asarray, state.params), p_base)
+
+
+def test_evaluate_parity_forced_global(data_dir, tmp_path, trained,
+                                       monkeypatch):
+    """Resident eval (stack_epoch_batches put_named + fetch_global) under
+    forced global arrays matches the default path, incl. result rows."""
+    model, params, _, _ = trained
+    ds = _ds(data_dir)
+    acc_base, res_base, _ = evaluate(model, params, ds, 32,
+                                     result_path=None)
+    monkeypatch.setenv("VQAX_FORCE_GLOBAL_ARRAYS", "1")
+    rpath = str(tmp_path / "result.json")
+    acc_forced, res_forced, _ = evaluate(model, params, ds, 32,
+                                         result_path=rpath)
+    assert acc_forced == acc_base
+    assert res_forced == res_base
+    assert os.path.exists(rpath)  # single process IS the primary

@@ -121,19 +121,25 @@ def train_one_config(args, train_ds, val_ds, ckpt_prefix: str,
         rows.append(f"{row['image_id']},{row['question']},"
                     f"{r['answer']},{row.get('answer', '')}")
 
-    os.makedirs(args.save_dir, exist_ok=True)
-    name = (f"{ckpt_prefix}_{args.n_obj}_{args.n_kernels}_"
-            f"{args.neighbourhood_size}_{acc:.2f}.pt")
-    save_checkpoint(os.path.join(args.save_dir, name), state,
-                    epoch=args.ep, extra={"accuracy": acc})
+    from vqa_project_tpu.parallel.multihost import is_primary
+
+    if is_primary():  # rank-0-only artifact writes under multi-host
+        os.makedirs(args.save_dir, exist_ok=True)
+        name = (f"{ckpt_prefix}_{args.n_obj}_{args.n_kernels}_"
+                f"{args.neighbourhood_size}_{acc:.2f}.pt")
+        save_checkpoint(os.path.join(args.save_dir, name), state,
+                        epoch=args.ep, extra={"accuracy": acc})
     return rows, acc
 
 
 def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                      ckpt_prefix: str):
     """The nested grid-search driver (run_imageclef.py:216-242)."""
+    from vqa_project_tpu.parallel.multihost import \
+        maybe_initialize_distributed
     from vqa_project_tpu.utils import enable_compilation_cache
 
+    maybe_initialize_distributed()
     enable_compilation_cache()
     if len(unparsed) != 0:
         raise SystemExit("Unknown argument: {}".format(unparsed))

@@ -210,13 +210,16 @@ def trainval(args):
     model, state, acc = fit(
         tcfg, mcfg, ds, resume_path=args.model_path,
         jsonl_path=os.path.join(args.save_dir, "metrics.jsonl"))
-    os.makedirs(args.save_dir, exist_ok=True)
-    name = (f"vqa_{args.n_obj}_{args.n_kernels}_"
-            f"{args.neighbourhood_size}_{acc:.2f}.pt")
-    save_checkpoint(os.path.join(args.save_dir, name), state,
-                    epoch=tcfg.epochs,
-                    extra={"accuracy": acc, "config": vars(args)})
-    print(f"Saved {name}")
+    from vqa_project_tpu.parallel.multihost import is_primary
+
+    if is_primary():  # rank-0-only artifact writes under multi-host
+        os.makedirs(args.save_dir, exist_ok=True)
+        name = (f"vqa_{args.n_obj}_{args.n_kernels}_"
+                f"{args.neighbourhood_size}_{acc:.2f}.pt")
+        save_checkpoint(os.path.join(args.save_dir, name), state,
+                        epoch=tcfg.epochs,
+                        extra={"accuracy": acc, "config": vars(args)})
+        print(f"Saved {name}")
 
 
 def eval_model(args):
@@ -277,8 +280,13 @@ def _print_params(ds, args):
 
 
 def main(argv=None):
+    from vqa_project_tpu.parallel.multihost import \
+        maybe_initialize_distributed
     from vqa_project_tpu.utils import enable_compilation_cache
 
+    # must run before the first jax.devices() call in a pod launch
+    # (VQAX_DIST=1 or VQAX_COORDINATOR=host:port; no-op otherwise)
+    maybe_initialize_distributed()
     enable_compilation_cache()
     args, parser, unparsed = input_args(argv)
     if len(unparsed) != 0:

@@ -41,16 +41,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_named(x, sh: NamedSharding) -> jax.Array:
+    """Place one host array onto a NamedSharding, multi-host aware.
+
+    Single-process (the common case, incl. the tunneled real chip): a
+    plain jax.device_put — the proven fast path. Multi-process (or
+    VQAX_FORCE_GLOBAL_ARRAYS=1): parallel.multihost.put_global, which
+    materializes only this host's addressable shards."""
+    from vqa_project_tpu.parallel import multihost
+
+    if multihost.is_multiprocess():
+        return multihost.put_global(x, sh)
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
                 axis: str = "data") -> Dict[str, jax.Array]:
-    """device_put a host batch with the leading axis split across chips.
+    """Place a host batch with the leading axis split across chips.
 
     The batch size must be divisible by the mesh size (the Batcher pads
     final batches to a fixed size, so this holds by construction when
     batch_size % n_devices == 0).
     """
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: put_named(x, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
@@ -64,4 +78,4 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     is constraining the embedding GRADIENT's layout inside the step;
     see train/steps.py VQAX_EMB_GRAD_COLMAJOR.)"""
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: put_named(x, sh), tree)

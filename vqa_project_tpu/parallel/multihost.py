@@ -1,0 +1,145 @@
+"""Multi-host (multi-process) SPMD support.
+
+The reference is strictly single-process/single-GPU (SURVEY.md section 2:
+no torch.distributed anywhere); this module is TPU-native surplus that
+lets the same training loop run a multi-host pod slice (v5e-16 and up,
+where one JAX process runs per host and `jax.devices()` spans hosts).
+
+Design (multi-controller JAX, jax-ml.github.io/scaling-book recipe):
+
+- every process runs the identical program; meshes are built over the
+  GLOBAL device list, so the jitted train step and its GSPMD collectives
+  are unchanged from the single-host case (ICI within a host, DCN across
+  hosts is XLA's problem, not ours);
+- host data feeding: the Batcher's RNG is seeded identically on every
+  process, so all processes compute the same global batch row order.
+  Each process materializes only its ADDRESSABLE shard of each global
+  array via `jax.make_array_from_callback` (`put_global` below) — the
+  callback slices the host batch with the shard index, so a process
+  never touches rows destined for another host's chips. Index batches
+  (the production device-cache mode) are a few KB of int32 per step, so
+  recomputing the global order everywhere costs nothing;
+- replicated leaves (params, optimizer state, the device feature cache)
+  go through the same callback path: each process materializes its own
+  replica copies from its local host value (identical across processes
+  by construction: same checkpoint file / same dataset artifacts);
+- only process 0 writes artifacts (checkpoints, metrics JSONL,
+  result.json) — see `is_primary`.
+
+Nothing here imports at TPU-init time; `maybe_initialize_distributed`
+must run before the first `jax.devices()` call in a real pod launch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+_FORCE_ENV = "VQAX_FORCE_GLOBAL_ARRAYS"
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize multi-controller JAX when the launch env asks for it.
+
+    Two activation paths (both no-ops in the common single-host run):
+      VQAX_DIST=1                    -> jax.distributed.initialize() with
+                                        TPU-pod auto-detection (each host
+                                        discovers coordinator/rank from
+                                        the TPU metadata server);
+      VQAX_COORDINATOR=host:port     -> explicit coordinator, with
+      VQAX_NUM_PROCESSES / VQAX_PROCESS_ID giving world size and rank
+      (the CPU/GPU-cluster style launch).
+
+    Returns True if initialize() was called.
+    """
+    coord = os.environ.get("VQAX_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["VQAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["VQAX_PROCESS_ID"]))
+        return True
+    if os.environ.get("VQAX_DIST") == "1":
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def is_multiprocess() -> bool:
+    """True when global arrays must be assembled per-process.
+
+    VQAX_FORCE_GLOBAL_ARRAYS=1 forces the make_array_from_callback path
+    at process_count()==1 so tests and the driver dryrun can execute the
+    multi-host assembly code without a real pod.
+    """
+    if os.environ.get(_FORCE_ENV) == "1":
+        return True
+    return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    """True on the process that owns artifact writes (rank 0)."""
+    return jax.process_index() == 0
+
+
+def put_global(x, sharding) -> jax.Array:
+    """Place a host value onto a (possibly cross-host) sharding.
+
+    Unlike jax.device_put, this never requires non-addressable devices:
+    each process materializes only the shards living on ITS devices, by
+    slicing the host value with the shard's index. Works for replicated
+    shardings (every slice is the whole array) and batch/table shardings
+    (each host cuts out its block). The host value must be identical on
+    every process — guaranteed here by seeding all Batcher RNGs alike
+    and loading params/caches from the same artifacts.
+    """
+    if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys (state.rng) can't pass through numpy: place
+        # the raw key data (trailing impl dims are unsharded under a
+        # partial PartitionSpec) and re-wrap with the same impl
+        impl = jax.random.key_impl(x)
+        data = put_global(jax.random.key_data(x), sharding)
+        return jax.random.wrap_key_data(data, impl=impl)
+    x = np.asarray(x)
+    # match device_put's dtype canonicalization (int64->int32 etc. with
+    # x64 disabled); make_array_from_callback does not canonicalize, and
+    # a dtype mismatch between the global aval and the shard buffers
+    # would reinterpret bytes
+    dt = jax.dtypes.canonicalize_dtype(x.dtype)
+    if dt != x.dtype:
+        x = x.astype(dt)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def fetch_global(x) -> np.ndarray:
+    """np.asarray of a jax.Array whose shards may live on other hosts.
+
+    Single-process: plain np.asarray. Multi-process: allgather the
+    missing shards over the mesh first (eval prediction rows are batch-
+    sharded, so each host only holds its chips' rows; result.json needs
+    them all on the writing host)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x,
+                                                            tiled=True))
+    return np.asarray(x)
+
+
+def local_batch_rows(batch_size: int,
+                     process_index: Optional[int] = None) -> slice:
+    """The slice of a global batch whose rows land on this host's chips.
+
+    Meshes here are built over jax.devices() in order, and JAX orders the
+    global device list by process, so process p's chips hold the p-th
+    contiguous block of the batch axis. Useful for debug/inspection (the
+    feeding itself goes through put_global and needs no explicit slice).
+    """
+    p = jax.process_index() if process_index is None else process_index
+    per = batch_size // jax.process_count()
+    return slice(p * per, (p + 1) * per)

@@ -59,9 +59,11 @@ class ShardedFeatureCache:
         if np.dtype(dtype) != feats.dtype:
             feats = feats.astype(dtype)
         sh = NamedSharding(mesh, P(axis))
+        from vqa_project_tpu.parallel.mesh import put_named
+
         return cls(
-            jax.device_put(jnp.asarray(feats), sh),
-            jax.device_put(jnp.asarray(boxes), sh),
+            put_named(feats, sh),
+            put_named(boxes, sh),
             mesh, axis, shard, n)
 
     def partitions(self) -> np.ndarray:

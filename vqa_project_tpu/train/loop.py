@@ -28,7 +28,8 @@ from vqa_project_tpu.config import ModelConfig, TrainConfig
 from vqa_project_tpu.data import Batcher, GraphVQADataset, prefetch_to_device
 from vqa_project_tpu.data.loader import pack_index_batch
 from vqa_project_tpu.models import GraphVQAModel
-from vqa_project_tpu.parallel import make_mesh, replicate, shard_batch
+from vqa_project_tpu.parallel import make_mesh, multihost, replicate, \
+    shard_batch
 from vqa_project_tpu.train.metrics import MetricLogger
 from vqa_project_tpu.train.state import (
     TrainState,
@@ -413,6 +414,8 @@ def _resume_checkpoint(path: str, state: TrainState) -> Tuple[int,
 
 
 def _save_epoch_ckpt(cfg: TrainConfig, state: TrainState, ep: int):
+    if not multihost.is_primary():  # rank-0-only artifact writes
+        return
     os.makedirs(cfg.save_dir, exist_ok=True)
     # epoch records the NEXT epoch to run, matching the reference's resume
     # contract (run.py:179 start_ep = ckpt['epoch'] with epoch saved as
@@ -524,7 +527,7 @@ def evaluate(
                                               data_axis)
         total, preds_all = eval_epoch(params, epoch_arrays)
         correct = float(total)
-        preds_all = np.asarray(preds_all)
+        preds_all = multihost.fetch_global(preds_all)
         result = []
         n_valid = 0.0
         for host_batch, preds in zip(host_batches, preds_all):
@@ -537,7 +540,7 @@ def evaluate(
                     "answer": ds.a_itow[int(preds[i])],
                 })
         acc = correct / max(n_valid, 1.0) * 100.0
-        if result_path:
+        if result_path and multihost.is_primary():
             with open(result_path, "w") as f:
                 json.dump(result, f)
         return acc, result, None
@@ -561,7 +564,7 @@ def evaluate(
     for host_batch, batch in prefetch_to_device(batches, put_pair, 2):
         preds, score, adjacency = eval_step(params, batch)
         correct += float(score)
-        preds = np.asarray(preds)
+        preds = multihost.fetch_global(preds)
         mask = host_batch["mask"]
         n_valid += float(mask.sum())
         qids = host_batch["qid"]
@@ -581,7 +584,7 @@ def evaluate(
     # over a full pass n_valid == ds.n_questions (padded rows are mask=0),
     # matching the reference's len(dataset) denominator (run.py:106-110)
     acc = correct / max(n_valid, 1.0) * 100.0
-    if result_path:
+    if result_path and multihost.is_primary():
         with open(result_path, "w") as f:
             json.dump(result, f)
     return acc, result, adjacencies

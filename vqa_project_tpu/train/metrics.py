@@ -14,6 +14,17 @@ import time
 from typing import Optional
 
 
+def _is_primary() -> bool:
+    """Process-0 check without importing jax at module import time (the
+    logger is also used in host-only tool scripts)."""
+    try:
+        from vqa_project_tpu.parallel.multihost import is_primary
+
+        return is_primary()
+    except Exception:
+        return True
+
+
 class MetricLogger:
     def __init__(self, log_interval: int = 40, jsonl_path: Optional[str] = None,
                  n_chips: int = 1, batch_size: int = 0):
@@ -22,7 +33,7 @@ class MetricLogger:
         self.n_chips = max(1, n_chips)
         self.batch_size = batch_size
         self._f = None
-        if jsonl_path:
+        if jsonl_path and _is_primary():  # rank-0-only file writes
             os.makedirs(os.path.dirname(os.path.abspath(jsonl_path)),
                         exist_ok=True)
             self._f = open(jsonl_path, "a")

@@ -524,9 +524,11 @@ def stack_epoch_batches(batches, mesh, data_axis: Optional[str] = None):
     assert batches, "empty eval epoch"
     assert "image_row" in batches[0], \
         "resident eval needs index-mode batches (device feature cache)"
+    from vqa_project_tpu.parallel.mesh import put_named
+
     stacked = {k: np.stack([b[k] for b in batches]) for k in _EPOCH_KEYS}
     sh = NamedSharding(mesh, P(None, data_axis or mesh.axis_names[0]))
-    return ({k: jax.device_put(v, sh) for k, v in stacked.items()},
+    return ({k: put_named(v, sh) for k, v in stacked.items()},
             len(batches))
 
 
