@@ -111,6 +111,58 @@ def test_fit_bit_identical_forced_global(data_dir, tmp_path, trained,
                  jax.tree.map(np.asarray, state.params), p_base)
 
 
+def test_two_process_pod(data_dir, tmp_path):
+    """REAL multi-process run: two OS processes, 4 virtual CPU devices
+    each, glued by jax.distributed into one 8-device global mesh — the
+    exact pod topology (one JAX process per host). Each rank feeds only
+    its addressable shards (make_array_from_callback), the eval fetch
+    allgathers prediction rows across ranks (Gloo), and only rank 0
+    writes artifacts. Ranks must agree bit-for-bit on the trained
+    parameters and exactly on accuracies."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    child = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(child)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(pid), "2", str(port), data_dir,
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+    reports = sorted(
+        (json.loads([ln for ln in out.splitlines()
+                     if ln.startswith("{")][-1]) for out, _ in outs),
+        key=lambda r: r["pid"])
+    r0, r1 = reports
+    assert r0["params_sha"] == r1["params_sha"]
+    assert r0["acc"] == r1["acc"]
+    assert r0["eval_acc"] == r1["eval_acc"]
+    # train split of the 256-question synthetic set (the generator
+    # holds out 64 for val)
+    assert r0["n_result"] == r1["n_result"] == _ds(data_dir).n_questions
+    # rank-0-only artifact writes: checkpoints + metrics.jsonl on rank 0,
+    # nothing on rank 1; result.json only at rank 0's path
+    assert any(f.endswith(".ckpt") for f in r0["ckpt_written"]), r0
+    assert "metrics.jsonl" in r0["ckpt_written"]
+    assert r1["ckpt_written"] == []
+    assert os.path.exists(str(tmp_path / "rank0_result.json"))
+    assert not os.path.exists(str(tmp_path / "rank1_result.json"))
+
+
 def test_evaluate_parity_forced_global(data_dir, tmp_path, trained,
                                        monkeypatch):
     """Resident eval (stack_epoch_batches put_named + fetch_global) under
