@@ -25,10 +25,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None,
               axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first num_devices devices."""
+    """1-D data-parallel mesh over the first num_devices devices.
+
+    Device order goes through mesh_utils.create_device_mesh when the
+    mesh spans all devices: on a real TPU slice that orders chips by
+    torus coordinates so the DP all-reduce ring rides neighbouring ICI
+    links (a no-op reshape on CPU/single-chip). Falls back to raw
+    jax.devices() order for partial meshes or backends the helper
+    doesn't know."""
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
+    if len(devs) == jax.device_count() and len(devs) > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(
+                (len(devs),), devices=devs), (axis,))
+        except Exception:
+            pass
     return Mesh(np.asarray(devs), (axis,))
 
 
