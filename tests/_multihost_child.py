@@ -71,12 +71,32 @@ def main():
     eval_acc, result, _ = evaluate(model, state.params, ds, 32,
                                    result_path=rpath)
 
+    # mesh-SHARDED feature cache across the two hosts (the production
+    # path for tables larger than one chip's HBM): a tiny
+    # device_cache_bytes forces the table to shard over all 8 global
+    # devices (4 per host), with locality-partitioned batches and the
+    # shard_map gather running under multi-controller SPMD
+    import dataclasses
+
+    nbytes = (np.asarray(ds.store.features).nbytes
+              + np.asarray(ds.store.boxes).nbytes)
+    tcfg_sh = dataclasses.replace(
+        tcfg, epochs=1, device_cache_bytes=nbytes // 4,
+        save_dir=os.path.join(out_dir, f"rank{pid}_sh"))
+    _, state_sh, acc_sh = fit(tcfg_sh, mcfg, ds)
+    h_sh = hashlib.sha256()
+    for leaf in jax.tree.leaves(
+            jax.tree.map(lambda x: np.asarray(x), state_sh.params)):
+        h_sh.update(np.ascontiguousarray(leaf).tobytes())
+
     print(json.dumps({
         "pid": pid,
         "acc": acc,
         "eval_acc": eval_acc,
         "n_result": len(result),
         "params_sha": h.hexdigest(),
+        "sharded_acc": acc_sh,
+        "sharded_params_sha": h_sh.hexdigest(),
         "ckpt_written": sorted(os.listdir(tcfg.save_dir))
         if os.path.isdir(tcfg.save_dir) else [],
     }), flush=True)

@@ -124,23 +124,36 @@ def test_two_process_pod(data_dir, tmp_path):
     import subprocess
     import sys
 
-    with socket.socket() as s:  # free localhost port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
     child = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(child)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, child, str(pid), "2", str(port), data_dir,
-             str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env)
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    # three concurrent JAX processes on this box's single visible CPU;
+    # trim the per-child threadpools
+    env["OMP_NUM_THREADS"] = "1"
+
+    def launch():
+        with socket.socket() as s:  # free coordinator port
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, child, str(pid), "2", str(port),
+                 data_dir, str(tmp_path)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env)
+            for pid in (0, 1)
+        ]
+        return procs, [p.communicate(timeout=600) for p in procs]
+
+    procs, outs = launch()
+    if any(p.returncode and p.returncode < 0 for p in procs):
+        # a rank died on a SIGNAL with no traceback: host contention
+        # (observed sporadic SIGBUS when three JAX runtimes share one
+        # CPU), not a code failure — those exit 1 with a traceback and
+        # are NOT retried. One retry keeps the suite honest.
+        procs, outs = launch()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
     reports = sorted(
@@ -151,6 +164,10 @@ def test_two_process_pod(data_dir, tmp_path):
     assert r0["params_sha"] == r1["params_sha"]
     assert r0["acc"] == r1["acc"]
     assert r0["eval_acc"] == r1["eval_acc"]
+    # sharded-cache leg: table split over both hosts' devices, locality
+    # batching + shard_map gather under multi-controller SPMD
+    assert r0["sharded_params_sha"] == r1["sharded_params_sha"]
+    assert r0["sharded_acc"] == r1["sharded_acc"] >= 0.0
     # train split of the 256-question synthetic set (the generator
     # holds out 64 for val)
     assert r0["n_result"] == r1["n_result"] == _ds(data_dir).n_questions
