@@ -67,6 +67,38 @@ def test_make_configs_threads_the_preset():
     assert tcfg.grad_reduce_dtype == "bfloat16"
 
 
+def test_grad_reduce_degrades_on_sharded_cache(data_dir, capsys):
+    """--fast_math on a table too big for per-chip residency: the cache
+    resolves to a ShardedFeatureCache inside fit(), which must DEGRADE
+    grad_reduce to the f32 path (with a warning) instead of crashing in
+    _build_bf16_reduce_step (ADVICE round 3 medium)."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    table = ds.store.features.size * 4 + ds.store.boxes.nbytes
+    tcfg = TrainConfig(lr=5e-3, epochs=1, batch_size=32,
+                       eval_interval=0, log_interval=1000,
+                       device_cache_bytes=table // 4,  # forces sharding
+                       adam_mu_dtype="bfloat16",
+                       adam_nu_dtype="bfloat16",
+                       grad_reduce_dtype="bfloat16")
+    _, state, acc = fit(tcfg, MODEL_CFG, ds)
+    assert jnp.isfinite(jnp.asarray(acc))
+    out = capsys.readouterr().out
+    assert "falling back to the exact float32" in out
+    assert "sharding across" in out  # the cache really went sharded
+
+
+def test_grad_reduce_degrades_on_tp_mesh(data_dir, capsys):
+    """Explicit grad_reduce_dtype=bfloat16 with tp>1 (the preset gates
+    this, a direct TrainConfig does not) degrades instead of raising."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    tcfg = TrainConfig(lr=5e-3, epochs=1, batch_size=32,
+                       eval_interval=0, log_interval=1000,
+                       tp=2, grad_reduce_dtype="bfloat16")
+    _, _, acc = fit(tcfg, MODEL_CFG, ds)
+    assert jnp.isfinite(jnp.asarray(acc))
+    assert "model-parallel mesh" in capsys.readouterr().out
+
+
 def test_all_knobs_on_still_learns(data_dir):
     """mu+nu bf16 storage AND the bf16 gradient psum together (the
     --fast_math configuration) still converge on the synthetic rule

@@ -52,6 +52,24 @@ def test_single_process_defaults():
     assert multihost.local_batch_rows(32) == slice(0, 32)
 
 
+def test_local_batch_rows_from_mesh():
+    """With a mesh, the rows come from the ACTUAL batch sharding's
+    per-device shard indices (authoritative under topology-reordered
+    meshes — ADVICE round 3); single-process every device is local, so
+    the union is the whole batch regardless of device order."""
+    mesh = make_mesh()
+    assert multihost.local_batch_rows(32, mesh=mesh) == slice(0, 32)
+    # reversed-device mesh: process-0 ownership is still the full batch
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    rev = Mesh(np.asarray(list(reversed(_jax.devices()))), ("data",))
+    assert multihost.local_batch_rows(32, mesh=rev) == slice(0, 32)
+    # a process that owns no devices gets the empty slice
+    assert multihost.local_batch_rows(32, process_index=7,
+                                      mesh=mesh) == slice(0, 0)
+
+
 def test_put_global_matches_device_put(data_dir, monkeypatch):
     ds = _ds(data_dir)
     mesh = make_mesh()

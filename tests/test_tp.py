@@ -77,6 +77,32 @@ def test_shard_state_placement_rules(data_dir):
     assert _spec_of(state.step) == P()
 
 
+def test_shard_state_forced_global_matches(data_dir, monkeypatch):
+    """shard_state placement must survive multi-controller assembly: the
+    forced make_array_from_callback path (what a pod process with tp>1
+    executes — raw device_put would reject non-addressable devices,
+    ADVICE round 3) yields bit-identical arrays and shardings."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=N_OBJ, max_qlen=10)
+    model = build_model(MCFG, ds)
+    tx = make_optimizer(TrainConfig(), 10)
+    sample = next(iter(Batcher(ds, 16)))
+    state = create_train_state(model, model.cfg, tx, sample, seed=0)
+    mesh = make_mesh_2d(2)
+    base = shard_state(state, mesh)
+    monkeypatch.setenv("VQAX_FORCE_GLOBAL_ARRAYS", "1")
+    forced = shard_state(state, mesh)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(base),
+            jax.tree_util.tree_leaves_with_path(forced)):
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        # is_equivalent_to: key_data normalizes P() to P(None,) on one
+        # path only — semantically identical placements
+        assert b.sharding.is_equivalent_to(a.sharding, b.ndim), pa
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=str(pa))
+
+
 def test_tp_training_matches_data_parallel(data_dir, tmp_path):
     """dp4 x tp2 training reaches the same parameters as 1-device
     training (same seed/data); TP only changes reduction order, so

@@ -137,8 +137,11 @@ def input_args(argv=None):
 def resolve_dtype_knobs(args):
     """Resolve the three opt-in bf16 storage knobs: explicit flag >
     --fast_math preset > float32. grad_reduce bf16 needs the 1-D data
-    mesh + replicated cache (train/steps.py:363-372) — the CLI's cache
-    is always replicated, so the preset gates it on tp == 1 only."""
+    mesh + a replicated (or host-mode) cache; the mesh is known here
+    (tp == 1 gate) but the cache MODE is not — a table exceeding the
+    per-chip budget resolves to a ShardedFeatureCache inside fit(),
+    which then degrades grad_reduce back to float32 with a warning
+    (train/loop.py) instead of crashing."""
     fast = getattr(args, "fast_math", False)
     mu = args.adam_mu_dtype or ("bfloat16" if fast else "float32")
     nu = args.adam_nu_dtype or ("bfloat16" if fast else "float32")

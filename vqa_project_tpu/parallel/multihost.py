@@ -132,14 +132,39 @@ def fetch_global(x) -> np.ndarray:
 
 
 def local_batch_rows(batch_size: int,
-                     process_index: Optional[int] = None) -> slice:
+                     process_index: Optional[int] = None,
+                     mesh=None, data_axis: Optional[str] = None) -> slice:
     """The slice of a global batch whose rows land on this host's chips.
 
-    Meshes here are built over jax.devices() in order, and JAX orders the
-    global device list by process, so process p's chips hold the p-th
-    contiguous block of the batch axis. Useful for debug/inspection (the
-    feeding itself goes through put_global and needs no explicit slice).
+    Debug/inspection helper only — the feeding itself goes through
+    put_global and needs no explicit slice. With ``mesh`` given, the
+    rows are derived from the ACTUAL batch sharding's per-device shard
+    indices (authoritative even when mesh_utils.create_device_mesh
+    reordered devices by torus topology, which can interleave hosts —
+    ADVICE round 3); a non-contiguous ownership raises rather than
+    mislabel rows. Without a mesh it assumes the process-ordered device
+    list (true for raw jax.devices() meshes, NOT guaranteed for
+    topology-ordered ones — pass the mesh on a real pod).
     """
     p = jax.process_index() if process_index is None else process_index
-    per = batch_size // jax.process_count()
-    return slice(p * per, (p + 1) * per)
+    if mesh is None:
+        per = batch_size // jax.process_count()
+        return slice(p * per, (p + 1) * per)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(data_axis or mesh.axis_names[0]))
+    rows = set()
+    for dev, idx in sh.devices_indices_map((batch_size,)).items():
+        if dev.process_index != p:
+            continue
+        s = idx[0]
+        rows.update(range(s.start or 0,
+                          batch_size if s.stop is None else s.stop))
+    if not rows:
+        return slice(0, 0)
+    lo, hi = min(rows), max(rows) + 1
+    if len(rows) != hi - lo:
+        raise ValueError(
+            f"process {p} owns non-contiguous batch rows {sorted(rows)} "
+            "on this mesh; no single slice describes them")
+    return slice(lo, hi)

@@ -145,9 +145,17 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
     match); scalars, unknown leaves and indivisible dims replicate.
     Drop-in replacement for parallel.replicate() when the mesh has a
     model axis.
+
+    Placement goes through mesh.put_named: single-process it is a plain
+    jax.device_put; under multi-controller JAX (a pod launch with tp>1)
+    it switches to multihost.put_global, which materializes only this
+    host's addressable shards — raw device_put would reject the global
+    mesh's non-addressable devices (ADVICE round 3).
     """
+    from vqa_project_tpu.parallel.mesh import put_named
+
     def put(path, leaf):
-        return jax.device_put(
+        return put_named(
             leaf, NamedSharding(mesh, param_spec(path, leaf, mesh)))
 
     return jax.tree_util.tree_map_with_path(put, state)
