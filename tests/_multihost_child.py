@@ -89,6 +89,66 @@ def main():
             jax.tree.map(lambda x: np.asarray(x), state_sh.params)):
         h_sh.update(np.ascontiguousarray(leaf).tobytes())
 
+    def sha(params):
+        hh = hashlib.sha256()
+        for leaf in jax.tree.leaves(jax.tree.map(np.asarray, params)):
+            hh.update(np.ascontiguousarray(leaf).tobytes())
+        return hh.hexdigest()
+
+    # --- resume leg (VERDICT r3 item 4): both ranks restart from rank
+    # 0's mid-run checkpoint (the shared-filesystem pod pattern — rank 1
+    # reads a file it never wrote) and must reach the UNINTERRUPTED
+    # 2-epoch run's parameters BIT-identically: per-epoch deterministic
+    # shuffle (data/loader.py) + restored step/rng/Adam state, the
+    # reference resume contract (run.py:176-181) under multi-controller.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("rank0-ckpt-visible")
+    ckpt1 = os.path.join(out_dir, "rank0", "model_1.ckpt")
+    assert os.path.exists(ckpt1), ckpt1
+    tcfg_res = dataclasses.replace(
+        tcfg, epochs=1, save_dir=os.path.join(out_dir, f"rank{pid}_res"))
+    _, state_res, _ = fit(tcfg_res, mcfg, ds, resume_path=ckpt1)
+    resume_sha = sha(state_res.params)
+
+    # --- one medical grid cell (cli/medical.py) under the pod: fit +
+    # full evaluate + rank-0-only artifacts (grid txt, ckpt, best CSV).
+    # Per-rank CWDs make any non-gated write show up as a rank-1 file.
+    from vqa_project_tpu.data.synthetic_medical import (
+        generate_synthetic_imageclef)
+
+    med_data = os.path.join(out_dir, "med_data")
+    if pid == 0:  # rank-0-only generation; others wait at the barrier
+        generate_synthetic_imageclef(med_data, n_images=6,
+                                     n_questions=32, n_obj=9,
+                                     feat_dim=16, q_vocab=12, n_answers=6)
+    multihost_utils.sync_global_devices("med-data-ready")
+    cwd = os.path.join(out_dir, f"cwd{pid}")
+    os.makedirs(cwd, exist_ok=True)
+    os.chdir(cwd)
+    from vqa_project_tpu.cli.medical import (grid_search_main,
+                                             medical_input_args)
+
+    med_args, med_parser, med_unparsed = medical_input_args([
+        "--data_dir", med_data,
+        "--save_dir", os.path.join(out_dir, f"med_save{pid}"),
+        "--plot_dir", os.path.join(out_dir, f"med_plot{pid}"),
+        "--ep", "1", "--bsize", "8", "--hid", "24", "--emb", "16",
+        "--n_obj", "9", "--compute_dtype", "float32",
+        "--neighbors_list", "4", "--kernels_list", "3",
+    ])
+    grid_search_main(med_args, med_parser, med_unparsed,
+                     dataset_name="imageclef", ckpt_prefix="clef")
+    med_grid = os.path.join(cwd, "grid_search_nodes_9.txt")
+    med_artifacts = sorted(
+        os.listdir(cwd)
+        + (os.listdir(os.path.join(out_dir, f"med_save{pid}"))
+           if os.path.isdir(os.path.join(out_dir, f"med_save{pid}"))
+           else [])
+        + (os.listdir(os.path.join(out_dir, f"med_plot{pid}"))
+           if os.path.isdir(os.path.join(out_dir, f"med_plot{pid}"))
+           else []))
+
     print(json.dumps({
         "pid": pid,
         "acc": acc,
@@ -97,6 +157,10 @@ def main():
         "params_sha": h.hexdigest(),
         "sharded_acc": acc_sh,
         "sharded_params_sha": h_sh.hexdigest(),
+        "resume_sha": resume_sha,
+        "med_grid_line": (open(med_grid).read().strip()
+                          if os.path.exists(med_grid) else ""),
+        "med_artifacts": med_artifacts,
         "ckpt_written": sorted(os.listdir(tcfg.save_dir))
         if os.path.isdir(tcfg.save_dir) else [],
     }), flush=True)

@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -31,6 +33,8 @@ def _clean_env():
     return env
 
 
+@pytest.mark.slow  # ~2 min compile-heavy subprocess; the driver also
+#                    runs dryrun_multichip every round (MULTICHIP_rN)
 def test_dryrun_multichip_self_provisions():
     proc = subprocess.run(
         [sys.executable, "-c",
@@ -41,6 +45,7 @@ def test_dryrun_multichip_self_provisions():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_init():
     # Driver variants may touch jax.devices() first; clear_backends path.
     # Pin the platform to cpu (as the driver does): with it unset, the
@@ -70,3 +75,18 @@ def test_entry_compiles():
     logits, adjacency = jax.jit(fn)(*args)
     assert logits.shape == (32, 3001)
     assert adjacency.shape[1] == adjacency.shape[2]
+
+
+def test_entry_pallas_env(monkeypatch):
+    """VQAX_ENTRY_PALLAS lets the driver artifact cover the shipped
+    fused-kernel default (VERDICT round 3 item 6): 'force' pins the
+    Pallas path on (interpret mode here on CPU) and the forward still
+    compiles and runs at flagship dims."""
+    import jax
+
+    import __graft_entry__
+
+    monkeypatch.setenv("VQAX_ENTRY_PALLAS", "force")
+    fn, args = __graft_entry__.entry()
+    logits, _ = jax.jit(fn)(*args)
+    assert logits.shape == (32, 3001)

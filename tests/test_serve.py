@@ -146,6 +146,50 @@ def test_http_roundtrip(served):
         httpd.shutdown()
 
 
+def test_multichip_serving_parity(served):
+    """mesh= serving (padded batch sharded over the 8-device data mesh,
+    params replicated — the trainer's SPMD recipe) answers identically
+    to the single-chip server, and really places batches on all chips
+    (VERDICT round 3 item 8)."""
+    import time
+
+    from vqa_project_tpu.parallel import make_mesh
+
+    srv1, model, params, ds = served
+    mesh = make_mesh()
+    srv8 = InferenceServer(model, params, ds, batch_size=8,
+                           max_wait_ms=30.0, top_k=3, mesh=mesh)
+    try:
+        # sharded placement actually engages
+        probe = srv8._put(np.zeros((8, 4), np.float32))
+        assert len(probe.sharding.device_set) == mesh.devices.size
+        iids = list(ds.store.id_to_row)
+        qs = [f"what colour is object {i}" for i in range(8)]
+        outs1 = [srv1.predict(q, image_id=iids[i % len(iids)])
+                 for i, q in enumerate(qs)]
+        futs = [srv8.submit(q, image_id=iids[i % len(iids)])
+                for i, q in enumerate(qs)]
+        outs8 = [f.result(timeout=120) for f in futs]
+        for a, b in zip(outs1, outs8):
+            assert a["answer"] == b["answer"]
+            np.testing.assert_allclose(
+                [t["prob"] for t in a["top_k"]],
+                [t["prob"] for t in b["top_k"]], rtol=1e-5, atol=1e-6)
+        # throughput probe (not a perf assertion: virtual CPU mesh):
+        # full saturated batches through the sharded forward
+        t0 = time.perf_counter()
+        futs = [srv8.submit(qs[i % 8], image_id=iids[i % len(iids)])
+                for i in range(32)]
+        [f.result(timeout=120) for f in futs]
+        dt = time.perf_counter() - t0
+        print(f"\nmulti-chip serve: {32 / dt:.0f} req/s over "
+              f"{mesh.devices.size} virtual devices")
+    finally:
+        srv8.close()
+    with pytest.raises(ValueError, match="not divisible"):
+        InferenceServer(model, params, ds, batch_size=6, mesh=mesh)
+
+
 def test_worker_survives_batch_failure(served):
     """A failure anywhere in batch serving (not just the forward) fails
     THAT batch's futures and leaves the worker alive for later requests

@@ -149,6 +149,31 @@ def test_resume_continues_epoch(data_dir, tmp_path):
     assert int(state2.step) > int(state.step)
 
 
+def test_resume_bit_identical_to_uninterrupted(data_dir, tmp_path):
+    """fit(2 epochs) == fit(1 epoch) -> checkpoint -> resumed fit(1
+    epoch), BIT-identically: the per-epoch deterministic shuffle
+    (data/loader.py) plus the checkpointed step/rng/Adam state make the
+    resumed epoch see exactly the batches, dropout draws and LR values
+    of the uninterrupted run (reference resume contract run.py:176-181,
+    strengthened to bit-exactness)."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+
+    def tcfg(epochs, sub):
+        return TrainConfig(lr=1e-3, epochs=epochs, batch_size=32,
+                           eval_interval=0, log_interval=1000,
+                           save_dir=str(tmp_path / sub), name="m")
+
+    _, full, _ = fit(tcfg(2, "full"), MODEL_CFG, ds)
+    fit(tcfg(1, "part"), MODEL_CFG, ds, save_every_epoch=True)
+    _, resumed, _ = fit(tcfg(1, "part"), MODEL_CFG, ds,
+                        resume_path=str(tmp_path / "part" / "m_1.ckpt"))
+    assert int(resumed.step) == int(full.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(full.params), jax.device_get(resumed.params))
+
+
 def test_train_matches_single_device(data_dir):
     """Data-parallel (8 devices) and single-device runs produce identical
     parameters: the mesh changes layout, not math."""

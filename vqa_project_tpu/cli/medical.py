@@ -162,10 +162,21 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                                          args.compute_dtype))
     shared = (mesh, cache, val_cache)
 
+    from vqa_project_tpu.parallel.multihost import is_primary
+
     best_acc = 0.0
-    os.makedirs(args.plot_dir, exist_ok=True)
     grid_path = f"grid_search_nodes_{args.n_obj}.txt"
-    with open(grid_path, "w") as f:
+    # artifact writes (grid txt, best-config CSV) are rank-0-only under
+    # multi-host, like every checkpoint write; the training/eval legs
+    # below still run on every rank (they hold collectives)
+    if is_primary():
+        os.makedirs(args.plot_dir, exist_ok=True)
+        f = open(grid_path, "w")
+    else:
+        import contextlib
+
+        f = contextlib.nullcontext()
+    with f:
         for neighbors in args.neighbors_list:
             for kernels in args.kernels_list:
                 if kernels > args.n_obj or neighbors > args.n_obj:
@@ -178,17 +189,20 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                 line = (f"neighbors: {neighbors}, kernels: {kernels}, "
                         f"Validation acc: {acc:.3f} %\n")
                 print(line, end="")
-                f.write(line)
-                f.flush()
+                if is_primary():
+                    f.write(line)
+                    f.flush()
                 if acc > best_acc:
                     best_acc = acc
-                    csv_path = os.path.join(
-                        args.plot_dir,
-                        f"{ckpt_prefix}_{args.n_obj}_{acc:.2f}.csv")
-                    with open(csv_path, "w") as f2:
-                        f2.write("image_id,question,prediction,answer\n")
-                        for line2 in rows:
-                            f2.write(line2 + "\n")
+                    if is_primary():
+                        csv_path = os.path.join(
+                            args.plot_dir,
+                            f"{ckpt_prefix}_{args.n_obj}_{acc:.2f}.csv")
+                        with open(csv_path, "w") as f2:
+                            f2.write("image_id,question,prediction,"
+                                     "answer\n")
+                            for line2 in rows:
+                                f2.write(line2 + "\n")
     print(f"grid search done; best acc {best_acc:.3f} % -> {grid_path}")
 
 

@@ -29,6 +29,11 @@ def input_args(argv=None):
     p.add_argument("--bsize", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="chips to serve one batch on (default 1: this "
+                        "model saturates a chip before the HTTP "
+                        "front-end does — scale by replica; >1 shards "
+                        "each padded batch over a data mesh, 0 = all)")
     # model hyper-params must match the checkpoint (same flags as run.py)
     p.add_argument("--emb", type=int, default=300)
     p.add_argument("--hid", type=int, default=1024)
@@ -87,8 +92,15 @@ def build_server(args):
             dataclasses.replace(mcfg, quantized_inference=True), ds)
         params = quantize_params_for_serving(params)
         print("int8 projection weights (serving quantization) on")
+    mesh = None
+    nd = getattr(args, "num_devices", 1)
+    if nd != 1:
+        from vqa_project_tpu.parallel import make_mesh
+
+        mesh = make_mesh(None if nd == 0 else nd)
     return InferenceServer(model, params, ds, batch_size=args.bsize,
-                           max_wait_ms=args.max_wait_ms, top_k=args.top_k)
+                           max_wait_ms=args.max_wait_ms, top_k=args.top_k,
+                           mesh=mesh)
 
 
 def main(argv=None):

@@ -63,8 +63,21 @@ class Batcher:
                     f"{self.n_parts} cache shards")
             self._pools = [np.flatnonzero(partitions == c)
                            for c in range(self.n_parts)]
-        self._rng = np.random.default_rng(seed)
+        # Per-epoch deterministic shuffle: epoch e's order is a pure
+        # function of (seed, e), NOT of how many epochs were iterated
+        # before — so a run resumed from an epoch-k checkpoint sees
+        # exactly the batches the uninterrupted run would have seen
+        # (bit-exact resume; the standard deterministic-data-pipeline
+        # design for preemptible TPU training). A single stateful rng
+        # here would re-deal epoch 1's cards to the resumed epoch k+1.
+        self.seed = seed
         self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the per-epoch shuffle counter (resume support:
+        fit() calls this with the checkpoint's start epoch so the next
+        iteration shuffles as epoch start+1, not epoch 1)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         n = self.ds.n_questions
@@ -76,6 +89,9 @@ class Batcher:
             return max(-(-len(p) // per) for p in self._pools)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _epoch_rng(self) -> np.random.Generator:
+        return np.random.default_rng([self.seed, self._epoch])
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         self._epoch += 1
         if self.partitions is not None:
@@ -84,7 +100,7 @@ class Batcher:
         n = self.ds.n_questions
         order = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(order)
+            self._epoch_rng().shuffle(order)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
         for start in range(0, stop, bs):
@@ -95,8 +111,9 @@ class Batcher:
         per = self.batch_size // self.n_parts
         pools = [p.copy() for p in self._pools]
         if self.shuffle:
+            rng = self._epoch_rng()
             for p in pools:
-                self._rng.shuffle(p)
+                rng.shuffle(p)
         n_batches = len(self)
         for b in range(n_batches):
             rows, valid = [], []

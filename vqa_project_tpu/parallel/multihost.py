@@ -53,19 +53,35 @@ def maybe_initialize_distributed() -> bool:
       VQAX_NUM_PROCESSES / VQAX_PROCESS_ID giving world size and rank
       (the CPU/GPU-cluster style launch).
 
-    Returns True if initialize() was called.
+    Returns True if initialize() was called (or already had been).
+    Idempotent: harness entry points (cli/run.py, cli/medical.py) each
+    call it defensively, and a program may drive several of them in one
+    process — jax.distributed.initialize raises on the second call.
     """
     coord = os.environ.get("VQAX_COORDINATOR")
+    want = bool(coord) or os.environ.get("VQAX_DIST") == "1"
+    if not want:
+        return False
+    if _distributed_client_up():
+        return True
     if coord:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["VQAX_NUM_PROCESSES"]),
             process_id=int(os.environ["VQAX_PROCESS_ID"]))
-        return True
-    if os.environ.get("VQAX_DIST") == "1":
+    else:
         jax.distributed.initialize()
-        return True
-    return False
+    return True
+
+
+def _distributed_client_up() -> bool:
+    """True when jax.distributed.initialize already ran in this process."""
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:
+        return False
 
 
 def is_multiprocess() -> bool:

@@ -14,6 +14,9 @@ run.py:36-114); this is the TPU-native deployment surface. Design:
   FeatureStore (image_id -> row); at serving batch sizes the H2D of one
   (B, K, F) block is small. Raw features can also be supplied per
   request (for images outside the store).
+- Multi-chip (opt-in via mesh=): the padded batch shards over the data
+  axis and params replicate — the trainer's SPMD recipe applied to the
+  forward. Single-chip stays the default deployment (see __init__).
 
 Thread-safety: jax dispatch happens only on the worker thread;
 submitters block on a per-request Future.
@@ -52,7 +55,8 @@ class InferenceServer:
     """
 
     def __init__(self, model, params, ds, *, batch_size: int = 16,
-                 max_wait_ms: float = 5.0, top_k: int = 5):
+                 max_wait_ms: float = 5.0, top_k: int = 5,
+                 mesh=None, data_axis: str = "data"):
         import jax
         import jax.numpy as jnp
 
@@ -60,6 +64,31 @@ class InferenceServer:
         self.batch_size = int(batch_size)
         self.max_wait_ms = float(max_wait_ms)
         self.top_k = int(min(top_k, ds.n_answers - 1))
+        # Multi-chip serving: with a mesh, params replicate across it and
+        # every padded batch shards on the data axis — the trainer's
+        # exact SPMD recipe (parallel/mesh.py), so the jitted forward
+        # fans out over chips with an argmax-sized collective at the end.
+        # Default (mesh=None) is deliberate single-chip: the README
+        # records the measured single-chip rate and the decision rule
+        # (this model saturates one chip long before one HTTP front-end
+        # does; scale by replica, shard only when a single batch must
+        # exceed one chip's HBM/latency budget).
+        self._mesh = mesh if (mesh is not None
+                              and mesh.devices.size > 1) else None
+        if self._mesh is not None:
+            from vqa_project_tpu.parallel import replicate
+            from vqa_project_tpu.parallel.mesh import batch_sharding, \
+                put_named
+
+            n = self._mesh.shape[data_axis]
+            if self.batch_size % n:
+                raise ValueError(f"batch_size {self.batch_size} not "
+                                 f"divisible by {n} data-parallel chips")
+            params = replicate(params, self._mesh)
+            bsh = batch_sharding(self._mesh, data_axis)
+            self._put = lambda a: put_named(np.asarray(a), bsh)
+        else:
+            self._put = jnp.asarray
         self._params = params
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -82,11 +111,13 @@ class InferenceServer:
         self._shapes = (t, k, fdim)
         # warm the executable before accepting work: the first real
         # request must not pay the XLA compile inside its latency
-        import jax.numpy as _jnp
+        import numpy as _np
 
-        self._forward(params, _jnp.zeros((self.batch_size, t), _jnp.int32),
-                      _jnp.zeros((self.batch_size, k, fdim), _jnp.float32),
-                      _jnp.ones((self.batch_size,), _jnp.int32))
+        self._forward(params,
+                      self._put(_np.zeros((self.batch_size, t), _np.int32)),
+                      self._put(_np.zeros((self.batch_size, k, fdim),
+                                          _np.float32)),
+                      self._put(_np.ones((self.batch_size,), _np.int32)))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -175,8 +206,6 @@ class InferenceServer:
                         r.future.set_exception(e)
 
     def _serve_batch(self, batch: List[_Request]):
-        import jax.numpy as jnp
-
         t, k, fdim = self._shapes
         b = self.batch_size
         n = len(batch)
@@ -189,8 +218,7 @@ class InferenceServer:
             image[i, :, :fdim - 4] = r.features
             image[i, :, fdim - 4:] = r.boxes
         vals, idxs = self._forward(
-            self._params, jnp.asarray(q), jnp.asarray(image),
-            jnp.asarray(qlen))
+            self._params, self._put(q), self._put(image), self._put(qlen))
         vals = np.asarray(vals)
         idxs = np.asarray(idxs)
         self.batches_served += 1

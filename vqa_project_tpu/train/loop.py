@@ -264,6 +264,10 @@ def fit(
     if resume_path and os.path.isfile(resume_path):
         print(f"Resuming from checkpoint {resume_path}")
         start_epoch, state = _resume_checkpoint(resume_path, state)
+        # fast-forward the per-epoch deterministic shuffle so the
+        # resumed epoch sees the exact batches the uninterrupted run
+        # would have (bit-exact resume; data/loader.py::set_epoch)
+        loader.set_epoch(start_epoch)
     state = _place_state(state, mesh, train_cfg)
 
     grad_reduce = getattr(train_cfg, "grad_reduce_dtype", "float32")
