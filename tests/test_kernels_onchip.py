@@ -1,0 +1,87 @@
+"""On-chip f32-precision validation of the fused graph kernel.
+
+Interpret mode computes in float64-ish numpy semantics, so the CPU suite
+cannot catch Mosaic MXU-precision regressions: the round-2 bug where
+in-kernel f32 dots lowered to ONE bf16 MXU pass (3e-3 abs error at the
+medical K=51 vs the XLA path's 1e-6) was only visible on hardware. This
+file re-runs that validation on real TPU at both production shapes:
+
+    VQAX_TEST_TPU=1 python -m pytest tests/test_kernels_onchip.py -q
+
+PARITY.md records the commit + date of the last on-chip pass;
+tools/check_onchip_stale.py flags when ops/pallas/*.py is newer than
+that record (VERDICT round 3 item 2: gated tests must be re-run at HEAD
+whenever the kernels change).
+
+Parity anchor: the Gaussian-kernel aggregation being validated is
+/root/reference/layers.py:24-144 (fp32 torch ops).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+if jax.devices()[0].platform != "tpu":
+    pytest.skip("on-chip-only: validates Mosaic MXU precision, which "
+                "interpret mode cannot exercise (run with "
+                "VQAX_TEST_TPU=1 on TPU)", allow_module_level=True)
+
+from vqa_project_tpu.ops.pallas import (
+    edge_aggregate_reference,
+    fused_edge_aggregate,
+)
+
+N_KERN, D = 4, 64
+
+
+def _inputs(rng, b, k):
+    adj = rng.normal(size=(b, k, k)).astype(np.float32)
+    pseudo = np.stack(
+        [rng.uniform(0, 1.5, size=(b, k, k)),
+         rng.uniform(-np.pi, np.pi, size=(b, k, k))], axis=-1
+    ).astype(np.float32)
+    proj = rng.normal(size=(b, k, N_KERN * D)).astype(np.float32)
+    gparams = np.stack([
+        rng.uniform(0, 1, N_KERN),
+        rng.uniform(-np.pi, np.pi, N_KERN),
+        rng.uniform(0.1, 1, N_KERN),
+        rng.uniform(0.1, 1, N_KERN),
+    ]).astype(np.float32)
+    return tuple(map(jnp.asarray, (adj, pseudo, proj, gparams)))
+
+
+# K=36: VQA v2 production (run.py:513); K=51: ImageCLEF/medical n_obj.
+# m matches the harness defaults (neighbourhood 16 / 19).
+@pytest.mark.parametrize("k,m", [(36, 16), (51, 19)])
+def test_f32_dot_precision_fwd_and_grads(k, m):
+    """Fused-kernel forward within 2e-5 of the XLA reference in f32 —
+    the single-bf16-pass regression measured 3e-3, 150x the gate — and
+    all four input gradients tight too."""
+    rng = np.random.default_rng(1234 + k)
+    adj, pseudo, proj, gparams = _inputs(rng, 8, k)
+    got = np.asarray(fused_edge_aggregate(
+        adj, pseudo, proj, gparams, m, True, True))
+    want = np.asarray(edge_aggregate_reference(
+        adj, pseudo, proj, gparams, m=m, use_alpha=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+
+    def loss_fused(a, p, pr, gp):
+        return jnp.mean(fused_edge_aggregate(a, p, pr, gp, m, True, True)
+                        ** 2)
+
+    def loss_ref(a, p, pr, gp):
+        return jnp.mean(edge_aggregate_reference(
+            a, p, pr, gp, m=m, use_alpha=True) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+        adj, pseudo, proj, gparams)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        adj, pseudo, proj, gparams)
+    for gf, gr in zip(g_fused, g_ref):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        s = max(np.abs(gr).max(), 1e-12)
+        np.testing.assert_allclose(gf / s, gr / s, atol=5e-5)

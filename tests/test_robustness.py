@@ -144,3 +144,21 @@ def test_enable_compilation_cache(tmp_path):
     got = enable_compilation_cache(d)
     assert got == d and os.path.isdir(d)
     assert jax.config.jax_compilation_cache_dir == d
+
+
+def test_onchip_validation_not_stale():
+    """The gated hardware tests' evidence must match the CURRENT kernel
+    sources: tools/check_onchip_stale.py compares content hashes of
+    ops/pallas/*.py (+ the gated test files) against the record written
+    at the last on-chip pass. Editing a kernel without re-running
+    `VQAX_TEST_TPU=1 pytest tests/test_dropout_onchip.py
+    tests/test_kernels_onchip.py` turns this red (VERDICT r3 item 2)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "check_onchip_stale.py")],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr

@@ -149,6 +149,23 @@ def test_resume_continues_epoch(data_dir, tmp_path):
     assert int(state2.step) > int(state.step)
 
 
+def test_synthetic_binary_encoding_learns(tmp_path):
+    """The binary class encoding (full-width convergence task): class
+    count decoupled from the answer vocab, class id written as +/-2 bit
+    channels. A wide-head model must still learn it well above chance
+    (chance = 1/16 over the 16 used answers here)."""
+    d = str(tmp_path / "bin")
+    generate_synthetic_vqa(d, n_images=16, n_questions=256, n_obj=8,
+                           feat_dim=24, q_vocab=20, n_answers=64,
+                           n_classes=8, class_encoding="binary")
+    ds = GraphVQADataset.vqa2(d, "train", n_obj=8, max_qlen=10)
+    assert ds.n_answers == 65  # head width = answer vocab + pad slot
+    tcfg = TrainConfig(lr=5e-3, epochs=25, batch_size=32,
+                       eval_interval=0, log_interval=1000)
+    _, _, acc = fit(tcfg, MODEL_CFG, ds)
+    assert acc > 40.0, acc
+
+
 def test_resume_bit_identical_to_uninterrupted(data_dir, tmp_path):
     """fit(2 epochs) == fit(1 epoch) -> checkpoint -> resumed fit(1
     epoch), BIT-identically: the per-epoch deterministic shuffle

@@ -129,6 +129,20 @@ def input_args(argv=None):
                         help="QA pairs in the synthetic set (use a fresh "
                              "--data_dir when changing this; the set is "
                              "generated once per directory)")
+    parser.add_argument("--synthetic_images", type=int, default=24)
+    parser.add_argument("--synthetic_feat_dim", type=int, default=64)
+    parser.add_argument("--synthetic_vocab", type=int, default=40)
+    parser.add_argument("--synthetic_answers", type=int, default=12,
+                        help="answer-vocab size of the synthetic set "
+                             "(3000 = the real VQA v2 head)")
+    parser.add_argument("--synthetic_classes", type=int, default=0,
+                        help="distinct image classes (0 = answers/2); "
+                             "decoupled so a full-width head can pair "
+                             "with a learnable class count")
+    parser.add_argument("--synthetic_encoding", type=str,
+                        default="scalar", choices=["scalar", "binary"],
+                        help="how the image class is written into the "
+                             "features (binary scales to many classes)")
     parser.add_argument("--seed", type=int, default=1000)
     args, unparsed = parser.parse_known_args(argv)
     return args, parser, unparsed
@@ -181,7 +195,14 @@ def _dataset(args, split):
         if not os.path.exists(os.path.join(sdir, "train_q_dict.p")):
             generate_synthetic_vqa(
                 sdir, with_test=True, n_obj=args.n_obj,
-                n_questions=getattr(args, "synthetic_questions", 96))
+                n_questions=getattr(args, "synthetic_questions", 96),
+                n_images=getattr(args, "synthetic_images", 24),
+                feat_dim=getattr(args, "synthetic_feat_dim", 64),
+                q_vocab=getattr(args, "synthetic_vocab", 40),
+                n_answers=getattr(args, "synthetic_answers", 12),
+                n_classes=getattr(args, "synthetic_classes", 0),
+                class_encoding=getattr(args, "synthetic_encoding",
+                                       "scalar"))
         return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
     return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
 

@@ -57,7 +57,19 @@ def generate_synthetic_vqa(
     splits=("train", "val"),
     with_test: bool = False,
     with_images: bool = False,
+    n_classes: int = 0,
+    class_encoding: str = "scalar",
 ) -> str:
+    """n_classes decouples the number of distinct image classes from the
+    answer-vocabulary size (default 0 -> n_answers // 2, the historical
+    coupling): the full-width convergence proof needs the REAL 3001-way
+    answer head but a class count a model can actually discriminate.
+
+    class_encoding="binary" writes the class id as +/-2 bits across the
+    first ceil(log2(n_classes)) feature channels instead of one raw
+    scalar in channel 0 — 1500 ordinal levels on a single channel is a
+    thresholding task no 3001-way readout learns in reasonable time,
+    while binary bits are linearly separable at any class count."""
     rng = np.random.default_rng(seed)
     os.makedirs(data_dir, exist_ok=True)
     image_dir = os.path.join(data_dir, "images")
@@ -69,13 +81,20 @@ def generate_synthetic_vqa(
     boxes = ZarrWriter(os.path.join(data_dir, "trainval_boxes.zarr"))
     sizes = {}
     img_class = {}
+    n_classes = n_classes or n_answers // 2
+    assert 2 * n_classes <= n_answers, (n_classes, n_answers)
+    n_bits = max(1, int(np.ceil(np.log2(max(n_classes, 2)))))
     for i in range(n_images):
         iid = str(100 + i)
         w, h = int(rng.integers(300, 640)), int(rng.integers(300, 640))
         f = rng.standard_normal((n_obj, feat_dim)).astype(np.float32)
-        cls = int(rng.integers(0, n_answers // 2))
+        cls = int(rng.integers(0, n_classes))
         img_class[iid] = cls
-        f[:, 0] = cls  # learnable signal channel
+        if class_encoding == "binary":
+            bits = (cls >> np.arange(n_bits)) & 1
+            f[:, :n_bits] = (2.0 * bits - 1.0) * 2.0
+        else:
+            f[:, 0] = cls  # learnable signal channel
         xy1 = rng.uniform(0, 0.5, size=(n_obj, 2))
         wh = rng.uniform(0.05, 0.45, size=(n_obj, 2))
         b = np.concatenate([xy1, xy1 + wh], axis=-1).astype(np.float32)
