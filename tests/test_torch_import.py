@@ -317,8 +317,9 @@ def test_fit_resume_accepts_torch_full_dict(rng, tmp_path):
                        rng=jax.random.key(1))
 
     assert _is_torch_file(ckpt)
-    epoch, new_state = _resume_checkpoint(ckpt, state)
+    epoch, skip, new_state = _resume_checkpoint(ckpt, state)
     assert epoch == 5
+    assert skip == 0  # torch checkpoints never carry a mid-epoch mark
     assert int(new_state.opt_state[0].count) == 1
     assert int(new_state.step) == 1
     np.testing.assert_allclose(
@@ -328,8 +329,9 @@ def test_fit_resume_accepts_torch_full_dict(rng, tmp_path):
     native = str(tmp_path / "native.ckpt")
     save_checkpoint(native, new_state, epoch=9)
     assert not _is_torch_file(native)
-    epoch2, state2 = _resume_checkpoint(native, state)
-    assert epoch2 == 9 and int(state2.opt_state[0].count) == 1
+    epoch2, skip2, state2 = _resume_checkpoint(native, state)
+    assert epoch2 == 9 and skip2 == 0
+    assert int(state2.opt_state[0].count) == 1
 
 
 def test_export_inverts_import(tmp_path):

@@ -191,6 +191,42 @@ def test_resume_bit_identical_to_uninterrupted(data_dir, tmp_path):
         jax.device_get(full.params), jax.device_get(resumed.params))
 
 
+def test_midepoch_resume_bit_identical(data_dir, tmp_path):
+    """Preemption at an eval_interval boundary (the reference writes a
+    full-state checkpoint there, run.py:239-244): the checkpoint records
+    its position WITHIN the epoch, and the resumed fit first finishes
+    the interrupted epoch's remaining batches — same shuffle stream,
+    same dropout draws — before moving on. Final params must be
+    bit-identical to a never-interrupted run."""
+    ds = GraphVQADataset.vqa2(data_dir, "train", n_obj=8, max_qlen=10)
+    # locality-partitioned loader -> 6 steps per epoch at bs 32 here
+
+    def tcfg(epochs, sub, eval_interval=0):
+        return TrainConfig(lr=1e-3, epochs=epochs, batch_size=32,
+                           eval_interval=eval_interval, log_interval=1000,
+                           save_dir=str(tmp_path / sub), name="m")
+
+    _, full, _ = fit(tcfg(2, "full"), MODEL_CFG, ds)
+    steps_per_epoch = int(full.step) // 2
+
+    # eval_interval=4 -> ONE mid-epoch save at step 4 of epoch 0; the
+    # surviving m_1.ckpt leaves 2 batches of epoch 0 untrained = the
+    # "preempted at step 4" scenario
+    fit(tcfg(1, "part", eval_interval=4), MODEL_CFG, ds, val_ds=ds)
+    ckpt = str(tmp_path / "part" / "m_1.ckpt")
+    payload, _ = load_checkpoint(ckpt)
+    assert payload["epoch"] == 1
+    assert 0 < payload["extra"]["step_in_epoch"] < steps_per_epoch
+    assert payload["extra"]["step_in_epoch"] == 4
+
+    _, resumed, _ = fit(tcfg(2, "part2"), MODEL_CFG, ds, resume_path=ckpt)
+    assert int(resumed.step) == int(full.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(full.params), jax.device_get(resumed.params))
+
+
 def test_train_matches_single_device(data_dir):
     """Data-parallel (8 devices) and single-device runs produce identical
     parameters: the mesh changes layout, not math."""

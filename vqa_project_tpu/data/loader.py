@@ -72,12 +72,20 @@ class Batcher:
         # here would re-deal epoch 1's cards to the resumed epoch k+1.
         self.seed = seed
         self._epoch = 0
+        self._skip_next = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, skip: int = 0) -> None:
         """Fast-forward the per-epoch shuffle counter (resume support:
         fit() calls this with the checkpoint's start epoch so the next
-        iteration shuffles as epoch start+1, not epoch 1)."""
+        iteration shuffles as epoch start+1, not epoch 1).
+
+        skip > 0 additionally drops the first `skip` batches of the NEXT
+        iteration only (mid-epoch resume: a checkpoint written at an
+        eval_interval boundary records how many batches of its epoch were
+        already trained; the resumed run must see exactly the remaining
+        ones). Skipping is index arithmetic — no batch is materialized."""
         self._epoch = int(epoch)
+        self._skip_next = int(skip)
 
     def __len__(self) -> int:
         n = self.ds.n_questions
@@ -94,8 +102,9 @@ class Batcher:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         self._epoch += 1
+        skip, self._skip_next = self._skip_next, 0  # one-shot
         if self.partitions is not None:
-            yield from self._iter_partitioned()
+            yield from self._iter_partitioned(skip)
             return
         n = self.ds.n_questions
         order = np.arange(n)
@@ -103,11 +112,12 @@ class Batcher:
             self._epoch_rng().shuffle(order)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
-        for start in range(0, stop, bs):
+        for start in range(skip * bs, stop, bs):
             rows = order[start:start + bs]
             yield self._make_batch(rows)
 
-    def _iter_partitioned(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_partitioned(self, skip: int = 0
+                          ) -> Iterator[Dict[str, np.ndarray]]:
         per = self.batch_size // self.n_parts
         pools = [p.copy() for p in self._pools]
         if self.shuffle:
@@ -115,7 +125,7 @@ class Batcher:
             for p in pools:
                 rng.shuffle(p)
         n_batches = len(self)
-        for b in range(n_batches):
+        for b in range(skip, n_batches):
             rows, valid = [], []
             for p in pools:
                 seg = p[b * per:(b + 1) * per]

@@ -261,13 +261,23 @@ def fit(
     sample = next(iter(Batcher(train_ds, bs)))
     state = create_train_state(model, model.cfg, tx, sample, train_cfg.seed)
     start_epoch = 0
+    resume_skip = 0
     if resume_path and os.path.isfile(resume_path):
         print(f"Resuming from checkpoint {resume_path}")
-        start_epoch, state = _resume_checkpoint(resume_path, state)
+        start_epoch, resume_skip, state = _resume_checkpoint(resume_path,
+                                                             state)
+        if resume_skip:
+            # mid-epoch checkpoint (written at an eval_interval boundary):
+            # finish the interrupted epoch first — its shuffle stream is
+            # keyed on the epoch index, and the first resume_skip batches
+            # were already trained, so skip exactly those
+            start_epoch -= 1
+            print(f"Mid-epoch checkpoint: resuming epoch {start_epoch} "
+                  f"at step {resume_skip}/{steps_per_epoch}")
         # fast-forward the per-epoch deterministic shuffle so the
         # resumed epoch sees the exact batches the uninterrupted run
         # would have (bit-exact resume; data/loader.py::set_epoch)
-        loader.set_epoch(start_epoch)
+        loader.set_epoch(start_epoch, skip=resume_skip)
     state = _place_state(state, mesh, train_cfg)
 
     grad_reduce = getattr(train_cfg, "grad_reduce_dtype", "float32")
@@ -336,7 +346,13 @@ def fit(
 
     epoch_acc = 0.0
     for ep in range(start_epoch, start_epoch + train_cfg.epochs):
-        ep_loss, ep_score, ep_valid, n_steps = 0.0, 0.0, 0.0, 0
+        ep_loss, ep_score, ep_valid = 0.0, 0.0, 0.0
+        # n_steps is the POSITION within the epoch (so eval_interval
+        # checkpoints land at the same global steps as the uninterrupted
+        # run after a mid-epoch resume); trained counts batches actually
+        # run this process-lifetime, for the loss denominator
+        n_steps = resume_skip if ep == start_epoch else 0
+        trained = 0
         window = []  # device scalars; fetched once per log window to
         #              avoid a ~20 ms blocking D2H per step
 
@@ -360,6 +376,7 @@ def fit(
             state, m = train_step(state, batch)
             window.append(m)
             n_steps += 1
+            trained += 1
 
             if len(window) >= logger.log_interval:
                 flush_window()
@@ -374,11 +391,14 @@ def fit(
                     acc = _mini_validation(eval_step, state.params,
                                            val_iter, put, bs)
                 print(f"Validation accuracy: {acc:.2f} %", flush=True)
-                _save_epoch_ckpt(train_cfg, state, ep)
+                # n_steps == steps_per_epoch means the epoch IS complete
+                # (the modulo makes that save an epoch-boundary one)
+                _save_epoch_ckpt(train_cfg, state, ep,
+                                 step_in_epoch=n_steps % steps_per_epoch)
 
         if window:
             flush_window()
-        epoch_loss = ep_loss / max(n_steps, 1)
+        epoch_loss = ep_loss / max(trained, 1)
         epoch_acc = 100.0 * ep_score / max(ep_valid, 1.0)
         print("Epoch %02d done, average loss: %.3f, average accuracy: "
               "%.2f%%" % (ep + 1, epoch_loss, epoch_acc), flush=True)
@@ -399,18 +419,27 @@ def _is_torch_file(path: str) -> bool:
                                  and head[1] < 0x08)
 
 
-def _resume_checkpoint(path: str, state: TrainState) -> Tuple[int,
-                                                              TrainState]:
+def _resume_checkpoint(path: str, state: TrainState
+                       ) -> Tuple[int, int, TrainState]:
     """Resume from either checkpoint lineage: the native msgpack format,
     or a reference torch .pt (both on-disk formats; full-dict
     checkpoints additionally restore the Adam moments + step, matching
-    the reference's optimizer.load_state_dict at run.py:176-181)."""
+    the reference's optimizer.load_state_dict at run.py:176-181).
+
+    Returns (next_epoch, step_in_epoch, state). step_in_epoch > 0 marks
+    a mid-epoch checkpoint (written at an eval_interval boundary,
+    run.py:239-244 semantics): the epoch it was written in is NOT done,
+    and fit() must finish its remaining batches first. Torch
+    checkpoints never carry the field (the reference only resumes at
+    epoch starts), so they resume at an epoch boundary."""
     import jax
     import jax.numpy as jnp
 
     if not _is_torch_file(path):
         payload, new_state = load_checkpoint(path, state)
-        return int(payload.get("epoch", 0)), new_state
+        extra = payload.get("extra") or {}
+        return (int(payload.get("epoch", 0)),
+                int(extra.get("step_in_epoch", 0)), new_state)
 
     from vqa_project_tpu.models.torch_import import load_torch_checkpoint
 
@@ -425,22 +454,26 @@ def _resume_checkpoint(path: str, state: TrainState) -> Tuple[int,
         for s in opt_state:
             if isinstance(s, optax.ScaleByAdamState):
                 step = jnp.asarray(s.count, jnp.int32)
-    return epoch, TrainState(
+    return epoch, 0, TrainState(
         params=params,
         opt_state=state.opt_state if opt_state is None else opt_state,
         step=step, rng=state.rng)
 
 
-def _save_epoch_ckpt(cfg: TrainConfig, state: TrainState, ep: int):
+def _save_epoch_ckpt(cfg: TrainConfig, state: TrainState, ep: int,
+                     step_in_epoch: int = 0):
     if not multihost.is_primary():  # rank-0-only artifact writes
         return
     os.makedirs(cfg.save_dir, exist_ok=True)
     # epoch records the NEXT epoch to run, matching the reference's resume
     # contract (run.py:179 start_ep = ckpt['epoch'] with epoch saved as
-    # ep + 1).
+    # ep + 1). step_in_epoch > 0 marks a mid-epoch (eval_interval) save:
+    # epoch ep is not finished, and _resume_checkpoint hands the count to
+    # fit() so the resumed run trains exactly the remaining batches.
     save_checkpoint(
         os.path.join(cfg.save_dir, f"{cfg.name}_{ep + 1}.ckpt"),
-        state, epoch=ep + 1)
+        state, epoch=ep + 1,
+        extra={"step_in_epoch": int(step_in_epoch)})
 
 
 def _infinite_batches(batcher: Batcher):
