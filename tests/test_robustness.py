@@ -162,3 +162,54 @@ def test_onchip_validation_not_stale():
                                       "check_onchip_stale.py")],
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
+
+
+def test_make_mesh_rejects_overrequest():
+    """Asking for more devices than exist must error, not silently
+    truncate to a smaller (or single-chip) mesh the operator believes
+    is sharding their batches."""
+    import jax
+
+    from vqa_project_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(jax.device_count() + 1)
+    assert make_mesh(jax.device_count()).devices.size == jax.device_count()
+
+
+def test_entry_pallas_flag_spellings():
+    """Truthy misspellings of VQAX_ENTRY_PALLAS must select the shipped
+    Pallas default, never silently fall back to the unfused path the
+    flag exists to cover."""
+    from __graft_entry__ import _entry_pallas_mode
+
+    assert _entry_pallas_mode("force") is True
+    assert _entry_pallas_mode(" FORCE ") is True
+    for s in (None, "", "0", "false", "OFF", "no"):
+        assert _entry_pallas_mode(s) is False
+    for s in ("1", "true", "True", "on", "yes", "auto", "2"):
+        assert _entry_pallas_mode(s) == "auto"
+
+
+def test_synthetic_fingerprint_regenerates(tmp_path):
+    """Re-running a --synthetic CLI with different generation knobs on
+    the same --data_dir regenerates the dataset instead of silently
+    training the stale artifacts (the knobs ARE the dataset)."""
+    from vqa_project_tpu.cli.run import _dataset, input_args
+
+    base = ["--train", "--synthetic", "--data_dir", str(tmp_path),
+            "--n_obj", "8", "--emb", "24"]
+    def args(extra):
+        return input_args(base + extra)[0]
+
+    ds1 = _dataset(args(["--synthetic_answers", "12"]), "train")
+    assert ds1.n_answers == 13  # 12 + pad slot
+    # same knobs -> reuse (fingerprint matches, no regeneration)
+    mtime = os.path.getmtime(os.path.join(tmp_path, "synthetic",
+                                          "fingerprint.json"))
+    _dataset(args(["--synthetic_answers", "12"]), "train")
+    assert os.path.getmtime(os.path.join(tmp_path, "synthetic",
+                                         "fingerprint.json")) == mtime
+    # changed knob -> regenerated dataset reflects it
+    ds2 = _dataset(args(["--synthetic_answers", "20"]), "train")
+    assert ds2.n_answers == 21

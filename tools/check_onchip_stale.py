@@ -74,9 +74,9 @@ def main() -> int:
         return 1
     with open(RECORD) as f:
         rec = json.load(f)
-    stale = [p for p, h in current_hashes().items()
-             if rec["sha256"].get(p) != h]
-    missing = [p for p in rec["sha256"] if p not in current_hashes()]
+    cur = current_hashes()  # one snapshot for both checks
+    stale = [p for p, h in cur.items() if rec["sha256"].get(p) != h]
+    missing = [p for p in rec["sha256"] if p not in cur]
     if stale or missing:
         print("ON-CHIP VALIDATION STALE (recorded at "
               f"{rec['commit']}, {rec['date']}): changed/removed since "

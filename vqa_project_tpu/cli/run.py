@@ -189,20 +189,40 @@ def make_configs(args):
 
 def _dataset(args, split):
     if args.synthetic:
+        import json
+
         from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
 
         sdir = os.path.join(args.data_dir, "synthetic")
-        if not os.path.exists(os.path.join(sdir, "train_q_dict.p")):
-            generate_synthetic_vqa(
-                sdir, with_test=True, n_obj=args.n_obj,
-                n_questions=getattr(args, "synthetic_questions", 96),
-                n_images=getattr(args, "synthetic_images", 24),
-                feat_dim=getattr(args, "synthetic_feat_dim", 64),
-                q_vocab=getattr(args, "synthetic_vocab", 40),
-                n_answers=getattr(args, "synthetic_answers", 12),
-                n_classes=getattr(args, "synthetic_classes", 0),
-                class_encoding=getattr(args, "synthetic_encoding",
-                                       "scalar"))
+        # fingerprint of every generation knob: a rerun with different
+        # --synthetic_* flags on the same --data_dir must regenerate, not
+        # silently train the stale artifacts (the knobs are the dataset)
+        knobs = dict(n_obj=args.n_obj,
+                     n_questions=args.synthetic_questions,
+                     n_images=args.synthetic_images,
+                     feat_dim=args.synthetic_feat_dim,
+                     q_vocab=args.synthetic_vocab,
+                     n_answers=args.synthetic_answers,
+                     n_classes=args.synthetic_classes,
+                     class_encoding=args.synthetic_encoding)
+        fp_path = os.path.join(sdir, "fingerprint.json")
+        on_disk = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                on_disk = json.load(f)
+        if on_disk != knobs:
+            if os.path.exists(sdir):
+                # the subdir is wholly machine-generated; wiping it keeps
+                # a shrunk n_images/n_questions from leaving stale store
+                # entries behind
+                import shutil
+
+                print(f"Synthetic knobs changed vs {fp_path} — "
+                      "regenerating the dataset", flush=True)
+                shutil.rmtree(sdir)
+            generate_synthetic_vqa(sdir, with_test=True, **knobs)
+            with open(fp_path, "w") as f:
+                json.dump(knobs, f)
         return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
     return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
 

@@ -35,6 +35,13 @@ def make_mesh(num_devices: Optional[int] = None,
     doesn't know."""
     devs = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devs):
+            # erroring beats the silent single-chip fallback: an operator
+            # asking for --num_devices 8 on a 1-chip host must learn the
+            # batches are NOT sharding, not discover it in a profile
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} JAX device(s) are visible")
         devs = devs[:num_devices]
     if len(devs) == jax.device_count() and len(devs) > 1:
         try:

@@ -58,6 +58,7 @@ def maybe_initialize_distributed() -> bool:
     call it defensively, and a program may drive several of them in one
     process — jax.distributed.initialize raises on the second call.
     """
+    global _INITIALIZED_HERE
     coord = os.environ.get("VQAX_COORDINATOR")
     want = bool(coord) or os.environ.get("VQAX_DIST") == "1"
     if not want:
@@ -71,16 +72,33 @@ def maybe_initialize_distributed() -> bool:
             process_id=int(os.environ["VQAX_PROCESS_ID"]))
     else:
         jax.distributed.initialize()
+    _INITIALIZED_HERE = True
     return True
+
+
+# primary already-initialized signal: set by THIS module's initialize
+# call, so the idempotency guard keeps working even if the jax-internal
+# probe below breaks on a jax upgrade
+_INITIALIZED_HERE = False
 
 
 def _distributed_client_up() -> bool:
     """True when jax.distributed.initialize already ran in this process."""
+    if _INITIALIZED_HERE:
+        return True
     try:
         from jax._src.distributed import global_state
 
         return global_state.client is not None
     except Exception:
+        import warnings
+
+        # the probe is belt-and-braces for initialize() calls made
+        # OUTSIDE this module; losing it must be loud, not a silent
+        # 'already initialized' crash at the second entry point
+        warnings.warn("jax._src.distributed.global_state probe failed; "
+                      "relying on this module's own initialize tracking",
+                      RuntimeWarning)
         return False
 
 
