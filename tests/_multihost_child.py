@@ -59,13 +59,15 @@ def main():
         tcfg, mcfg, ds, save_every_epoch=True,
         jsonl_path=os.path.join(tcfg.save_dir, "metrics.jsonl"))
 
+    def sha(params):
+        hh = hashlib.sha256()
+        for leaf in jax.tree.leaves(jax.tree.map(np.asarray, params)):
+            hh.update(np.ascontiguousarray(leaf).tobytes())
+        return hh.hexdigest()
+
     # params digest must agree bit-for-bit across ranks (replicated
     # state updated by identical SPMD steps)
-    leaves = jax.tree.leaves(
-        jax.tree.map(lambda x: np.asarray(x), state.params))
-    h = hashlib.sha256()
-    for leaf in leaves:
-        h.update(np.ascontiguousarray(leaf).tobytes())
+    params_sha = sha(state.params)
 
     rpath = os.path.join(out_dir, f"rank{pid}_result.json")
     eval_acc, result, _ = evaluate(model, state.params, ds, 32,
@@ -84,16 +86,7 @@ def main():
         tcfg, epochs=1, device_cache_bytes=nbytes // 4,
         save_dir=os.path.join(out_dir, f"rank{pid}_sh"))
     _, state_sh, acc_sh = fit(tcfg_sh, mcfg, ds)
-    h_sh = hashlib.sha256()
-    for leaf in jax.tree.leaves(
-            jax.tree.map(lambda x: np.asarray(x), state_sh.params)):
-        h_sh.update(np.ascontiguousarray(leaf).tobytes())
-
-    def sha(params):
-        hh = hashlib.sha256()
-        for leaf in jax.tree.leaves(jax.tree.map(np.asarray, params)):
-            hh.update(np.ascontiguousarray(leaf).tobytes())
-        return hh.hexdigest()
+    sharded_params_sha = sha(state_sh.params)
 
     # --- resume leg (VERDICT r3 item 4): both ranks restart from rank
     # 0's mid-run checkpoint (the shared-filesystem pod pattern — rank 1
@@ -154,9 +147,9 @@ def main():
         "acc": acc,
         "eval_acc": eval_acc,
         "n_result": len(result),
-        "params_sha": h.hexdigest(),
+        "params_sha": params_sha,
         "sharded_acc": acc_sh,
-        "sharded_params_sha": h_sh.hexdigest(),
+        "sharded_params_sha": sharded_params_sha,
         "resume_sha": resume_sha,
         "med_grid_line": (open(med_grid).read().strip()
                           if os.path.exists(med_grid) else ""),

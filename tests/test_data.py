@@ -165,3 +165,13 @@ def test_zarr_multi_chunk_read(tmp_path, rng):
     expected = a.copy()
     expected[8:10, 6:7] = 0.0  # the missing chunk region
     np.testing.assert_array_equal(got, expected)
+
+
+def test_synthetic_binary_encoding_validates_feat_dim(tmp_path):
+    """binary class encoding needs ceil(log2(n_classes)) channels; an
+    undersized feat_dim must be a clear ValueError, not a numpy
+    broadcast crash deep inside generation."""
+    with pytest.raises(ValueError, match="feat_dim"):
+        generate_synthetic_vqa(
+            str(tmp_path / "s"), n_images=4, n_questions=8, feat_dim=8,
+            n_answers=3000, n_classes=1500, class_encoding="binary")

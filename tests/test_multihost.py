@@ -174,7 +174,7 @@ def test_two_process_pod(data_dir, tmp_path):
         # are NOT retried. One retry keeps the suite honest — and it
         # must be LOUD: a recurring signal death is a regression this
         # suite would otherwise silently absorb once per run.
-        sigs = [p.returncode for p in procs if p.returncode]
+        sigs = [p.returncode for p in procs if p.returncode < 0]
         print(f"\n*** POD TEST RETRY: a rank died on signal(s) {sigs} "
               "(host contention?); retrying ONCE — if this line shows "
               "up repeatedly, treat it as a failure ***",

@@ -168,15 +168,14 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
     grid_path = f"grid_search_nodes_{args.n_obj}.txt"
     # artifact writes (grid txt, best-config CSV) are rank-0-only under
     # multi-host, like every checkpoint write; the training/eval legs
-    # below still run on every rank (they hold collectives)
-    if is_primary():
+    # below still run on every rank (they hold collectives). The file
+    # handle IS the rank guard: f is None off-primary, so every write
+    # site needs (and visibly has) its `if f` check.
+    primary = is_primary()
+    if primary:
         os.makedirs(args.plot_dir, exist_ok=True)
-        f = open(grid_path, "w")
-    else:
-        import contextlib
-
-        f = contextlib.nullcontext()
-    with f:
+    f = open(grid_path, "w") if primary else None
+    try:
         for neighbors in args.neighbors_list:
             for kernels in args.kernels_list:
                 if kernels > args.n_obj or neighbors > args.n_obj:
@@ -189,12 +188,12 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                 line = (f"neighbors: {neighbors}, kernels: {kernels}, "
                         f"Validation acc: {acc:.3f} %\n")
                 print(line, end="")
-                if is_primary():
+                if f:
                     f.write(line)
                     f.flush()
                 if acc > best_acc:
                     best_acc = acc
-                    if is_primary():
+                    if primary:
                         csv_path = os.path.join(
                             args.plot_dir,
                             f"{ckpt_prefix}_{args.n_obj}_{acc:.2f}.csv")
@@ -203,6 +202,9 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
                                      "answer\n")
                             for line2 in rows:
                                 f2.write(line2 + "\n")
+    finally:
+        if f:
+            f.close()
     print(f"grid search done; best acc {best_acc:.3f} % -> {grid_path}")
 
 

@@ -126,9 +126,9 @@ def input_args(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic mini-dataset")
     parser.add_argument("--synthetic_questions", type=int, default=96,
-                        help="QA pairs in the synthetic set (use a fresh "
-                             "--data_dir when changing this; the set is "
-                             "generated once per directory)")
+                        help="QA pairs in the synthetic set (changing any "
+                             "--synthetic_* knob regenerates the dataset "
+                             "in place on the next run)")
     parser.add_argument("--synthetic_images", type=int, default=24)
     parser.add_argument("--synthetic_feat_dim", type=int, default=64)
     parser.add_argument("--synthetic_vocab", type=int, default=40)
@@ -211,18 +211,31 @@ def _dataset(args, split):
             with open(fp_path) as f:
                 on_disk = json.load(f)
         if on_disk != knobs:
-            if os.path.exists(sdir):
-                # the subdir is wholly machine-generated; wiping it keeps
-                # a shrunk n_images/n_questions from leaving stale store
-                # entries behind
-                import shutil
+            from vqa_project_tpu.parallel.multihost import (is_multiprocess,
+                                                            is_primary)
 
-                print(f"Synthetic knobs changed vs {fp_path} — "
-                      "regenerating the dataset", flush=True)
-                shutil.rmtree(sdir)
-            generate_synthetic_vqa(sdir, with_test=True, **knobs)
-            with open(fp_path, "w") as f:
-                json.dump(knobs, f)
+            # rank-0-only generation: on a pod every rank sees the same
+            # shared --data_dir, and an unguarded rmtree+regenerate would
+            # let rank 1 delete zarr files rank 0 is mid-write (or leave
+            # ranks training on divergent host data, breaking put_global's
+            # identical-host-value invariant)
+            if is_primary():
+                if os.path.exists(sdir):
+                    # the subdir is wholly machine-generated; wiping it
+                    # keeps a shrunk n_images/n_questions from leaving
+                    # stale store entries behind
+                    import shutil
+
+                    print(f"Synthetic knobs changed vs {fp_path} — "
+                          "regenerating the dataset", flush=True)
+                    shutil.rmtree(sdir)
+                generate_synthetic_vqa(sdir, with_test=True, **knobs)
+                with open(fp_path, "w") as f:
+                    json.dump(knobs, f)
+            if is_multiprocess():
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("synthetic-data-ready")
         return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
     return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
 

@@ -84,6 +84,11 @@ def generate_synthetic_vqa(
     n_classes = n_classes or n_answers // 2
     assert 2 * n_classes <= n_answers, (n_classes, n_answers)
     n_bits = max(1, int(np.ceil(np.log2(max(n_classes, 2)))))
+    if class_encoding == "binary" and n_bits > feat_dim:
+        raise ValueError(
+            f"class_encoding='binary' needs ceil(log2(n_classes))="
+            f"{n_bits} feature channels to write the class bits, but "
+            f"feat_dim={feat_dim}; raise feat_dim or lower n_classes")
     for i in range(n_images):
         iid = str(100 + i)
         w, h = int(rng.integers(300, 640)), int(rng.integers(300, 640))

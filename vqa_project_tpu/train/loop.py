@@ -281,20 +281,21 @@ def fit(
     state = _place_state(state, mesh, train_cfg)
 
     grad_reduce = getattr(train_cfg, "grad_reduce_dtype", "float32")
-    if (grad_reduce == "bfloat16" and mesh.devices.size > 1
-            and (len(mesh.axis_names) != 1
-                 or (cache is not None and not isinstance(cache, tuple)))):
-        # the bf16-reduce step supports only the 1-D data mesh with a
-        # replicated (tuple) or host-mode cache; the cache MODE is only
-        # known here (a large table resolves to ShardedFeatureCache), so
-        # presets like --fast_math must degrade rather than crash
-        why = ("a model-parallel mesh" if len(mesh.axis_names) != 1
-               else "a mesh-sharded feature cache")
-        print("grad_reduce_dtype=bfloat16 needs the 1-D data mesh with a "
-              f"replicated (or host-mode) feature cache; this run uses "
-              f"{why} — falling back to the exact float32 gradient "
-              "all-reduce", flush=True)
-        grad_reduce = "float32"
+    if grad_reduce == "bfloat16" and mesh.devices.size > 1:
+        # the cache MODE is only known here (a large table resolves to
+        # ShardedFeatureCache), so presets like --fast_math must degrade
+        # rather than crash; the support matrix lives in ONE place
+        # (steps.supports_bf16_reduce) so this gate can't drift from the
+        # builder's hard errors
+        from vqa_project_tpu.train.steps import supports_bf16_reduce
+
+        ok, why = supports_bf16_reduce(mesh, cache)
+        if not ok:
+            print("grad_reduce_dtype=bfloat16 needs the 1-D data mesh "
+                  "with a replicated (or host-mode) feature cache; this "
+                  f"run uses {why} — falling back to the exact float32 "
+                  "gradient all-reduce", flush=True)
+            grad_reduce = "float32"
     train_step = build_train_step(
         model, tx, mesh, feature_cache=cache,
         n_answers=train_ds.n_answers,

@@ -401,6 +401,22 @@ def build_eval_step(model, mesh,
     return wrapper
 
 
+def supports_bf16_reduce(mesh, feature_cache):
+    """Single source of truth for the bf16-gradient-reduce support
+    matrix, shared by _build_bf16_reduce_step's hard errors and fit()'s
+    soft degrade (train/loop.py) so the two cannot drift: the step
+    needs the 1-D data mesh and a replicated (tuple) or host-mode
+    (None) feature cache.
+
+    Returns (ok, why): why names the unsupported ingredient when not ok.
+    """
+    if len(mesh.axis_names) != 1:
+        return False, "a model-parallel mesh"
+    if feature_cache is not None and not isinstance(feature_cache, tuple):
+        return False, "a mesh-sharded feature cache"
+    return True, None
+
+
 def _build_bf16_reduce_step(model, tx, mesh, feature_cache, n_answers,
                             pallas_gather) -> Callable:
     """Train step with an EXPLICIT bfloat16 gradient all-reduce.
@@ -436,13 +452,12 @@ def _build_bf16_reduce_step(model, tx, mesh, feature_cache, n_answers,
 
     from vqa_project_tpu.ops.losses import soft_margin_per_sample
 
-    if len(mesh.axis_names) != 1:
-        raise ValueError("grad_reduce_dtype=bfloat16 supports the 1-D "
-                         "data mesh only (use tp=1)")
-    if feature_cache is not None and not isinstance(feature_cache, tuple):
-        raise ValueError("grad_reduce_dtype=bfloat16 needs a replicated "
-                         "device feature cache or host-mode batches "
-                         "(the mesh-sharded cache keeps f32 reduction)")
+    ok, why = supports_bf16_reduce(mesh, feature_cache)
+    if not ok:
+        raise ValueError(
+            f"grad_reduce_dtype=bfloat16 does not support {why}: it "
+            "needs the 1-D data mesh (tp=1) with a replicated device "
+            "feature cache or host-mode batches")
     axis = mesh.axis_names[0]
     # mesh=None: the row gather runs per-chip INSIDE this step's own
     # shard_map, so the per-chip (non-shard_map) kernel is the right one
