@@ -104,6 +104,24 @@ def main():
     _, state_res, _ = fit(tcfg_res, mcfg, ds, resume_path=ckpt1)
     resume_sha = sha(state_res.params)
 
+    # --- synthetic-dataset regeneration leg (the CLI's rank-0-only
+    # fingerprint path): rank 0 decides + regenerates while rank 1 —
+    # which must NEVER read the fingerprint, lest a late read after
+    # rank 0's write send it down a different branch — waits at the
+    # unconditional barrier. Called twice (regenerate, then cache-hit)
+    # to prove both branches reach the same number of collectives.
+    import argparse
+
+    from vqa_project_tpu.cli.run import _dataset
+
+    syn_args = argparse.Namespace(
+        synthetic=True, data_dir=os.path.join(out_dir, "syn_data"),
+        emb=16, n_obj=8, synthetic_questions=24, synthetic_images=4,
+        synthetic_feat_dim=16, synthetic_vocab=12, synthetic_answers=6,
+        synthetic_classes=0, synthetic_encoding="scalar")
+    syn_rows = [len(_dataset(syn_args, "train")) for _ in range(2)]
+    assert syn_rows[0] == syn_rows[1] > 0, syn_rows
+
     # --- one medical grid cell (cli/medical.py) under the pod: fit +
     # full evaluate + rank-0-only artifacts (grid txt, ckpt, best CSV).
     # Per-rank CWDs make any non-gated write show up as a rank-1 file.
@@ -151,6 +169,7 @@ def main():
         "sharded_acc": acc_sh,
         "sharded_params_sha": sharded_params_sha,
         "resume_sha": resume_sha,
+        "syn_rows": syn_rows,
         "med_grid_line": (open(med_grid).read().strip()
                           if os.path.exists(med_grid) else ""),
         "med_artifacts": med_artifacts,

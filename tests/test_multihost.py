@@ -208,6 +208,10 @@ def test_two_process_pod(data_dir, tmp_path):
     # (a file rank 1 never wrote — the shared-FS pod pattern) and
     # continued to the uninterrupted run's parameters bit-identically
     assert r0["resume_sha"] == r1["resume_sha"] == r0["params_sha"]
+
+    # synthetic regeneration leg: both ranks loaded the rank-0-generated
+    # dataset (identical row counts) through the unconditional barrier
+    assert r0["syn_rows"] == r1["syn_rows"]
     # medical grid cell under the pod: ranks agree on the accuracy line;
     # rank 0 wrote grid txt + per-config ckpt + best CSV, rank 1 nothing
     assert "neighbors: 4, kernels: 3" in r0["med_grid_line"]

@@ -213,3 +213,33 @@ def test_synthetic_fingerprint_regenerates(tmp_path):
     # changed knob -> regenerated dataset reflects it
     ds2 = _dataset(args(["--synthetic_answers", "20"]), "train")
     assert ds2.n_answers == 21
+
+
+def test_make_mesh_2d_rejects_overrequest():
+    """The 2-D (tp) constructor must mirror make_mesh's over-request
+    error: --num_devices 16 --tp 2 on an 8-device host previously
+    truncated to a (4, 2) mesh with half the requested data
+    parallelism and no warning."""
+    import jax
+
+    from vqa_project_tpu.parallel.tp import make_mesh_2d
+
+    with pytest.raises(ValueError, match="device"):
+        make_mesh_2d(tp=2, num_devices=jax.device_count() * 2)
+    m = make_mesh_2d(tp=2, num_devices=jax.device_count())
+    assert m.devices.size == jax.device_count()
+
+
+def test_synthetic_rejects_too_few_answers():
+    """2*n_classes > n_answers must raise an explanatory ValueError
+    (survives python -O), not die later with a bare IndexError inside
+    the row generator."""
+    from vqa_project_tpu.data.synthetic import generate_synthetic_vqa
+
+    import os
+    target = "/tmp/vqax-test-synth-reject"
+    with pytest.raises(ValueError, match="synthetic_answers"):
+        generate_synthetic_vqa(target, n_images=2, n_questions=4,
+                               n_answers=12, n_classes=7)
+    # knob validation runs BEFORE any filesystem writes
+    assert not os.path.exists(target)

@@ -206,20 +206,23 @@ def _dataset(args, split):
                      n_classes=args.synthetic_classes,
                      class_encoding=args.synthetic_encoding)
         fp_path = os.path.join(sdir, "fingerprint.json")
-        on_disk = None
-        if os.path.exists(fp_path):
-            with open(fp_path) as f:
-                on_disk = json.load(f)
-        if on_disk != knobs:
-            from vqa_project_tpu.parallel.multihost import (is_multiprocess,
-                                                            is_primary)
+        from vqa_project_tpu.parallel.multihost import (is_multiprocess,
+                                                        is_primary)
 
-            # rank-0-only generation: on a pod every rank sees the same
-            # shared --data_dir, and an unguarded rmtree+regenerate would
-            # let rank 1 delete zarr files rank 0 is mid-write (or leave
-            # ranks training on divergent host data, breaking put_global's
-            # identical-host-value invariant)
-            if is_primary():
+        # rank-0-only decision AND generation: on a pod every rank sees
+        # the same shared --data_dir, and an unguarded rmtree+regenerate
+        # would let rank 1 delete zarr files rank 0 is mid-write (or
+        # leave ranks training on divergent host data, breaking
+        # put_global's identical-host-value invariant). Non-primary
+        # ranks never read the fingerprint — a rank that happened to
+        # read it AFTER rank 0 wrote it would take a different branch
+        # and skip collectives rank 0 participates in (pod hang).
+        if is_primary():
+            on_disk = None
+            if os.path.exists(fp_path):
+                with open(fp_path) as f:
+                    on_disk = json.load(f)
+            if on_disk != knobs:
                 if os.path.exists(sdir):
                     # the subdir is wholly machine-generated; wiping it
                     # keeps a shrunk n_images/n_questions from leaving
@@ -230,12 +233,21 @@ def _dataset(args, split):
                           "regenerating the dataset", flush=True)
                     shutil.rmtree(sdir)
                 generate_synthetic_vqa(sdir, with_test=True, **knobs)
-                with open(fp_path, "w") as f:
+                # atomic replace: a crash mid-write must not leave a
+                # truncated fingerprint that parses as a JSON error on
+                # the next launch
+                tmp = fp_path + ".tmp"
+                with open(tmp, "w") as f:
                     json.dump(knobs, f)
-            if is_multiprocess():
-                from jax.experimental import multihost_utils
+                os.replace(tmp, fp_path)
+        if is_multiprocess():
+            # UNCONDITIONAL barrier (same pattern as the med_data leg in
+            # tests/_multihost_child.py): every rank reaches it exactly
+            # once per _dataset call regardless of what rank 0 decided,
+            # so the collective schedules can't diverge across ranks
+            from jax.experimental import multihost_utils
 
-                multihost_utils.sync_global_devices("synthetic-data-ready")
+            multihost_utils.sync_global_devices("synthetic-data-ready")
         return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
     return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
 

@@ -70,6 +70,23 @@ def generate_synthetic_vqa(
     scalar in channel 0 — 1500 ordinal levels on a single channel is a
     thresholding task no 3001-way readout learns in reasonable time,
     while binary bits are linearly separable at any class count."""
+    n_classes = n_classes or n_answers // 2
+    if 2 * n_classes > n_answers:
+        # each class owns TWO answer words (one per question type), so
+        # the answer vocabulary must hold 2*n_classes entries; a bare
+        # assert would strip under python -O and crash later with an
+        # unexplained IndexError inside the row generator
+        raise ValueError(
+            f"n_answers={n_answers} is too small for "
+            f"n_classes={n_classes}: the two question types index "
+            f"answer words up to 2*n_classes-1={2 * n_classes - 1}; "
+            "raise --synthetic_answers or lower --synthetic_classes")
+    n_bits = max(1, int(np.ceil(np.log2(max(n_classes, 2)))))
+    if class_encoding == "binary" and n_bits > feat_dim:
+        raise ValueError(
+            f"class_encoding='binary' needs ceil(log2(n_classes))="
+            f"{n_bits} feature channels to write the class bits, but "
+            f"feat_dim={feat_dim}; raise feat_dim or lower n_classes")
     rng = np.random.default_rng(seed)
     os.makedirs(data_dir, exist_ok=True)
     image_dir = os.path.join(data_dir, "images")
@@ -81,14 +98,6 @@ def generate_synthetic_vqa(
     boxes = ZarrWriter(os.path.join(data_dir, "trainval_boxes.zarr"))
     sizes = {}
     img_class = {}
-    n_classes = n_classes or n_answers // 2
-    assert 2 * n_classes <= n_answers, (n_classes, n_answers)
-    n_bits = max(1, int(np.ceil(np.log2(max(n_classes, 2)))))
-    if class_encoding == "binary" and n_bits > feat_dim:
-        raise ValueError(
-            f"class_encoding='binary' needs ceil(log2(n_classes))="
-            f"{n_bits} feature channels to write the class bits, but "
-            f"feat_dim={feat_dim}; raise feat_dim or lower n_classes")
     for i in range(n_images):
         iid = str(100 + i)
         w, h = int(rng.integers(300, 640)), int(rng.integers(300, 640))

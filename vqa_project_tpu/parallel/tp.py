@@ -60,6 +60,12 @@ def make_mesh_2d(tp: int, num_devices: Optional[int] = None,
     """
     devs = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devs):
+            # mirror make_mesh (mesh.py): erroring beats silently
+            # building a smaller mesh than the operator asked for
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} JAX device(s) are visible")
         devs = devs[:num_devices]
     if len(devs) % tp:
         raise ValueError(f"{len(devs)} devices not divisible by tp={tp}")

@@ -413,7 +413,11 @@ def supports_bf16_reduce(mesh, feature_cache):
     if len(mesh.axis_names) != 1:
         return False, "a model-parallel mesh"
     if feature_cache is not None and not isinstance(feature_cache, tuple):
-        return False, "a mesh-sharded feature cache"
+        # name the ACTUAL cache type: "mesh-sharded" would point an
+        # operator running the replicated int8 QuantizedFeatureCache at
+        # the wrong knob (table size / sharding instead of the cache
+        # dtype) when diagnosing why the bf16 reduce was disabled
+        return False, f"a {type(feature_cache).__name__} feature cache"
     return True, None
 
 
