@@ -208,6 +208,44 @@ def grid_search_main(args, parser, unparsed, *, dataset_name: str,
     print(f"grid search done; best acc {best_acc:.3f} % -> {grid_path}")
 
 
+def _ensure_synthetic_medical(sdir: str, knobs: dict, generate) -> None:
+    """Regenerate a synthetic medical set when its knobs change.
+
+    The knobs ARE the dataset: rerunning with a different --n_obj must
+    not silently grid-search a stale store built for the old shape.
+    Mirrors cli/run.py's fingerprint.json mechanism, including the
+    pod-safe shape: rank 0 alone reads the fingerprint and regenerates;
+    every rank crosses an UNCONDITIONAL barrier.
+    """
+    import json
+    import shutil
+
+    from vqa_project_tpu.parallel.multihost import (is_multiprocess,
+                                                    is_primary)
+
+    fp_path = os.path.join(sdir, "fingerprint.json")
+    if is_primary():
+        on_disk = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                on_disk = json.load(f)
+        if on_disk != knobs:
+            if os.path.exists(sdir):
+                print("--synthetic knobs changed "
+                      f"({on_disk} -> {knobs}): regenerating the "
+                      "dataset", flush=True)
+                shutil.rmtree(sdir)
+            generate()
+            tmp = fp_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(knobs, f)
+            os.replace(tmp, fp_path)
+    if is_multiprocess():
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("synthetic-medical-ready")
+
+
 def _load_datasets(args, dataset_name: str):
     if dataset_name == "imageclef":
         if args.synthetic:
@@ -215,9 +253,10 @@ def _load_datasets(args, dataset_name: str):
                 generate_synthetic_imageclef)
 
             sdir = os.path.join(args.data_dir, "synthetic_imageclef")
-            if not os.path.exists(
-                    os.path.join(sdir, "imageclef_q_dict.p")):
-                generate_synthetic_imageclef(sdir, n_obj=args.n_obj)
+            _ensure_synthetic_medical(
+                sdir, {"n_obj": args.n_obj},
+                lambda: generate_synthetic_imageclef(sdir,
+                                                     n_obj=args.n_obj))
             args.data_dir = sdir
         # train and val share the single imageclef json (reference
         # behaviour, torch_dataset.py:197-203)
@@ -230,9 +269,9 @@ def _load_datasets(args, dataset_name: str):
                 generate_synthetic_mimic)
 
             sdir = os.path.join(args.data_dir, "synthetic_mimic")
-            if not os.path.exists(
-                    os.path.join(sdir, "mimic_q_train_dict.p")):
-                generate_synthetic_mimic(sdir, n_obj=args.n_obj)
+            _ensure_synthetic_medical(
+                sdir, {"n_obj": args.n_obj},
+                lambda: generate_synthetic_mimic(sdir, n_obj=args.n_obj))
             args.data_dir = sdir
         train_ds = GraphVQADataset.mimic(args.data_dir, "train",
                                          args.emb, args.n_obj)

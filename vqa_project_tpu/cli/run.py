@@ -123,6 +123,18 @@ def input_args(argv=None):
                              "on TPU when the table tile-aligns "
                              "(measured 2x at multi-GB tables), else "
                              "jnp.take; on/off force it")
+    add_synthetic_args(parser)
+    parser.add_argument("--seed", type=int, default=1000)
+    args, unparsed = parser.parse_known_args(argv)
+    return args, parser, unparsed
+
+
+def add_synthetic_args(parser):
+    """The --synthetic flag group, shared by every front-end whose
+    dataset loading goes through _dataset (run, serve): a parser that
+    accepts --synthetic but lacks the knob flags would crash inside
+    _dataset, which reads all of them to build the regeneration
+    fingerprint."""
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic mini-dataset")
     parser.add_argument("--synthetic_questions", type=int, default=96,
@@ -143,9 +155,6 @@ def input_args(argv=None):
                         default="scalar", choices=["scalar", "binary"],
                         help="how the image class is written into the "
                              "features (binary scales to many classes)")
-    parser.add_argument("--seed", type=int, default=1000)
-    args, unparsed = parser.parse_known_args(argv)
-    return args, parser, unparsed
 
 
 def resolve_dtype_knobs(args):
@@ -335,9 +344,13 @@ def _run_eval(args, split, compute_acc):
     model = build_model(mcfg, ds)
     payload, _ = load_checkpoint(args.model_path)
     params = restore_params(model, ds, payload)
+    # tcfg carries the cache knobs (--feature_cache_dtype,
+    # --pallas_gather, ...): without it an --eval launch silently
+    # rebuilt a default TrainConfig and ignored them
     acc, _, _ = evaluate(model, params, ds, args.bsize,
                          result_path="result.json",
-                         num_devices=args.num_devices)
+                         num_devices=args.num_devices,
+                         train_cfg=tcfg)
     return acc if compute_acc else None
 
 

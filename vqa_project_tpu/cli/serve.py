@@ -48,7 +48,9 @@ def input_args(argv=None):
                    help="int8 projection weights (ops/quant.py): ~2x "
                         "MXU rate on the conv GEMMs, +12%% measured "
                         "end-to-end eval throughput")
-    p.add_argument("--synthetic", action="store_true")
+    from vqa_project_tpu.cli.run import add_synthetic_args
+
+    add_synthetic_args(p)
     return p.parse_args(argv)
 
 

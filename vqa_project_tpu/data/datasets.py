@@ -58,6 +58,35 @@ def _read_sizes_csv(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _dir_fingerprint(path: str) -> str:
+    """Cheap change-detector for a zarr group dir (or a plain file).
+
+    Entry count + dir mtime catch added/removed/renamed members;
+    sampled member stats (first/middle/last sorted entries, plus one
+    chunk file inside each) catch in-place rewrites — ZarrWriter
+    truncate-overwrites chunk files, which never touches the dir mtime.
+    """
+    if not os.path.exists(path):
+        return f"missing:{path}"
+    st = os.stat(path)
+    if os.path.isfile(path):
+        return f"f:{st.st_size}:{st.st_mtime_ns}"
+    names = sorted(os.listdir(path))
+    parts = [f"d:{len(names)}:{st.st_mtime_ns}"]
+    for idx in {0, len(names) // 2, len(names) - 1}:
+        if not names:
+            break
+        name = names[idx]
+        p = os.path.join(path, name)
+        s = os.stat(p)
+        parts.append(f"{name}:{s.st_size}:{s.st_mtime_ns}")
+        chunk = os.path.join(p, "0.0")
+        if os.path.isfile(chunk):
+            cs = os.stat(chunk)
+            parts.append(f"{cs.st_size}:{cs.st_mtime_ns}")
+    return ";".join(parts)
+
+
 class FeatureStore:
     """Contiguous memmapped (n_images, K, feat) features + (n_images, K, 4)
     size-normalized xyxy boxes, packed once from zarr groups."""
@@ -78,9 +107,17 @@ class FeatureStore:
         """Pack zarr groups into the memmap cache (built once per store)."""
         cache_dir = cache_dir or os.path.join(
             os.path.dirname(feat_path) or ".", "_tpu_cache")
-        tag = hashlib.sha1(
+        path_tag = hashlib.sha1(
             f"{os.path.abspath(feat_path)}:{n_obj}".encode()).hexdigest()[:12]
-        base = os.path.join(cache_dir, f"packed_{tag}")
+        # staleness key: a regenerated zarr store at the SAME path must
+        # not silently reuse the old packed memmap (glove.py keys its
+        # cache on size+mtime for the same reason). Cheap: entry count,
+        # dir mtimes, and sampled member/chunk stats — a full rewrite
+        # touches every chunk's mtime, so the samples catch it.
+        fp_tag = hashlib.sha1("|".join(
+            _dir_fingerprint(p) for p in (feat_path, box_path, sizes_csv)
+        ).encode()).hexdigest()[:12]
+        base = os.path.join(cache_dir, f"packed_{path_tag}_{fp_tag}")
         meta_p, feat_p, box_p = (base + ".json", base + "_feat.npy",
                                  base + "_box.npy")
         if all(os.path.exists(p) for p in (meta_p, feat_p, box_p)):
@@ -89,6 +126,18 @@ class FeatureStore:
             feats = np.load(feat_p, mmap_mode="r")
             boxes = np.load(box_p, mmap_mode="r")
             return cls(feats, boxes, meta["id_to_row"])
+        # superseded packs for this store (older fingerprints) are
+        # orphans — a regenerated 123k-image store would otherwise leave
+        # multi-GB dead memmaps behind
+        if os.path.isdir(cache_dir):
+            import glob as _glob
+
+            for stale in _glob.glob(
+                    os.path.join(cache_dir, f"packed_{path_tag}_*")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
 
         fgroup = zarr_store.open_group(feat_path)
         bgroup = zarr_store.open_group(box_path)

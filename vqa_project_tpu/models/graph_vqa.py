@@ -203,8 +203,9 @@ class GaussianGraphConv(nn.Module):
     in_dim: int
     out_dim: int
     n_kernels: int
-    neighbourhood_size: int = 16
-    use_alpha: bool = True
+    # NOTE: the neighbourhood size and alpha-vs-mask choice live in the
+    # CALLER since the round-3 top-m hoist — they shape the `selection`
+    # tensor passed in; module attrs for them would be dead knobs
     use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     # serving-only int8 projection (ops/quant.py): the module then
@@ -490,12 +491,10 @@ class GraphVQAModel(nn.Module):
                 0, 2 ** 31 - 1, dtype=jnp.int32)
         conv1 = GaussianGraphConv(
             cfg.feat_dim, cfg.hid_dim * 2, cfg.n_kernels,
-            neighbourhood_size=cfg.neighbourhood_size, use_alpha=True,
             use_pallas=use_pallas, quantized=quantized,
             compute_dtype=cdt, name="graph_convolution_1")
         conv2 = GaussianGraphConv(
             cfg.hid_dim * 2, cfg.hid_dim, cfg.n_kernels,
-            neighbourhood_size=cfg.neighbourhood_size, use_alpha=False,
             use_pallas=use_pallas, quantized=quantized,
             compute_dtype=cdt, name="graph_convolution_2")
 

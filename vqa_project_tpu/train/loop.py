@@ -64,6 +64,28 @@ def build_model(model_cfg: ModelConfig, ds: GraphVQADataset) -> GraphVQAModel:
     return GraphVQAModel(cfg=cfg, pretrained_wemb=ds.pretrained_wemb)
 
 
+def _maybe_pack_for_dma(feats, train_cfg):
+    """Pack an (N, K, F) table into the DMA gather kernel's tile-aligned
+    (N, S, K*F/S) layout when the knob + backend + shape allow (a free
+    host-side view). Returns (feats, (K, F)) packed or (feats, None).
+
+    Single source for the gate — the replicated and int8 cache builders
+    must never drift on when packing applies ("auto" or True counts as
+    on; TPU-only: the packed layout buys nothing in interpret mode).
+    """
+    if not getattr(train_cfg, "pallas_gather", False):
+        return feats, None
+    import jax as _jax
+
+    from vqa_project_tpu.ops.pallas.gather_rows import pack_table, packable
+
+    if (_jax.default_backend() != "tpu"
+            or not packable(feats.shape, feats.dtype)):
+        return feats, None
+    _, k, f = feats.shape
+    return pack_table(feats), (k, f)
+
+
 def _make_int8_cache(store, mesh, train_cfg, compute_dtype):
     """Replicated int8 row-quantized feature cache, or None if even the
     int8 table exceeds the per-chip budget (steps.QuantizedFeatureCache
@@ -85,17 +107,7 @@ def _make_int8_cache(store, mesh, train_cfg, compute_dtype):
               "at the compute dtype", flush=True)
         return None
     q, scales = quantize_feature_table(feats)
-    kf = None
-    if getattr(train_cfg, "pallas_gather", False):
-        import jax as _jax
-
-        from vqa_project_tpu.ops.pallas.gather_rows import (
-            pack_table, packable)
-        if (_jax.default_backend() == "tpu"
-                and packable(q.shape, q.dtype)):
-            _, kk, ff = q.shape
-            q = pack_table(q)
-            kf = (kk, ff)
+    q, kf = _maybe_pack_for_dma(q, train_cfg)
     return QuantizedFeatureCache(
         features=replicate(jnp.asarray(q), mesh),
         scales=replicate(jnp.asarray(scales), mesh),
@@ -139,22 +151,9 @@ def make_feature_cache(ds: GraphVQADataset, mesh,
         feats = np.asarray(store.features)
         if dtype != np.float32:
             feats = feats.astype(dtype)
-        kf = None
-        if getattr(train_cfg, "pallas_gather", False):
-            # Pack ONCE (a free host-side view) into the tile-aligned
-            # (N, S, K*F/S) layout the DMA gather kernel requires; the
-            # 3rd tuple element carries the logical (K, F) so the step
-            # can reshape gathered rows back. TPU-only: the packed
-            # layout buys nothing in interpret mode.
-            import jax as _jax
-
-            from vqa_project_tpu.ops.pallas.gather_rows import (
-                pack_table, packable)
-            if (_jax.default_backend() == "tpu"
-                    and packable(feats.shape, dtype)):
-                _, k, f = feats.shape
-                feats = pack_table(feats)
-                kf = (k, f)
+        # the 3rd tuple element carries the logical (K, F) so the step
+        # can reshape DMA-gathered rows back
+        feats, kf = _maybe_pack_for_dma(feats, train_cfg)
         pair = (
             replicate(jnp.asarray(feats), mesh),
             replicate(jnp.asarray(np.asarray(store.boxes)), mesh),
@@ -258,11 +257,26 @@ def fit(
                      **_locality_kwargs(cache, train_ds))
     steps_per_epoch = len(loader)
     tx = make_optimizer(train_cfg, steps_per_epoch)
-    sample = next(iter(Batcher(train_ds, bs)))
+    # shape-only init batch from dataset metadata: a REAL first batch
+    # gathers ~75 MB of features plus two (bs, 3001) dense label arrays
+    # from the memmap for nothing (init is input-value independent —
+    # verified param-bit-identical to a materialized batch)
+    sample = {
+        "question": np.zeros((2, train_ds.max_qlen), np.int32),
+        "image": np.zeros((2, train_ds.n_obj, train_ds.feat_dim),
+                          np.float32),
+        "qlen": np.ones((2,), np.int32),
+    }
     state = create_train_state(model, model.cfg, tx, sample, train_cfg.seed)
     start_epoch = 0
     resume_skip = 0
-    if resume_path and os.path.isfile(resume_path):
+    if resume_path and not os.path.isfile(resume_path):
+        # a typo'd resume path must not silently train from scratch and
+        # overwrite the checkpoint lineage it was meant to continue
+        # (the eval path already errors on a missing model path)
+        raise FileNotFoundError(
+            f"resume checkpoint not found: {resume_path}")
+    if resume_path:
         print(f"Resuming from checkpoint {resume_path}")
         start_epoch, resume_skip, state = _resume_checkpoint(resume_path,
                                                              state)
@@ -527,6 +541,7 @@ def evaluate(
     max_batches: Optional[int] = None,
     mesh=None,
     cache=_UNSET,
+    train_cfg=None,
 ) -> Tuple[float, List[dict], Optional[Dict[int, np.ndarray]]]:
     """Sequential evaluation producing the EvalAI result list and the VQA
     accuracy (run.py:36-114 / 274-341).
@@ -542,10 +557,23 @@ def evaluate(
     """
     if mesh is None:
         mesh = make_mesh(num_devices, data_axis)
+    n_chips = mesh.devices.size
+    if batch_size % max(n_chips, 1):
+        # same operator-facing message as fit(): a non-divisible batch
+        # otherwise dies deep inside device_put with an opaque
+        # partitioning error
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"{n_chips} data-parallel chips")
     if cache is _UNSET:
-        from vqa_project_tpu.config import TrainConfig as _TC
+        if train_cfg is None:
+            from vqa_project_tpu.config import TrainConfig as _TC
 
-        cache = make_feature_cache(ds, mesh, _TC(batch_size=batch_size),
+            train_cfg = _TC(batch_size=batch_size)
+        # train_cfg carries the cache knobs (--feature_cache_dtype,
+        # --pallas_gather, device_cache_bytes): an eval-only launch
+        # must honor them — the int8 cache exists precisely so the
+        # full table fits one chip at eval time too
+        cache = make_feature_cache(ds, mesh, train_cfg,
                                    model.cfg.compute_dtype)
     params = replicate(params, mesh)
     loader = Batcher(ds, batch_size, shuffle=False,
@@ -572,9 +600,10 @@ def evaluate(
             stack_epoch_batches
 
         host_batches = list(batches)
-        eval_epoch = build_eval_epoch(model, mesh, feature_cache=cache,
-                                      n_answers=ds.n_answers,
-                                      data_axis=data_axis)
+        eval_epoch = build_eval_epoch(
+            model, mesh, feature_cache=cache, n_answers=ds.n_answers,
+            pallas_gather=getattr(train_cfg, "pallas_gather", False),
+            data_axis=data_axis)
         epoch_arrays, _ = stack_epoch_batches(host_batches, mesh,
                                               data_axis)
         total, preds_all = eval_epoch(params, epoch_arrays)
@@ -597,9 +626,10 @@ def evaluate(
                 json.dump(result, f)
         return acc, result, None
 
-    eval_step = build_eval_step(model, mesh, feature_cache=cache,
-                                n_answers=ds.n_answers,
-                                return_adjacency=collect_adjacency)
+    eval_step = build_eval_step(
+        model, mesh, feature_cache=cache, n_answers=ds.n_answers,
+        pallas_gather=getattr(train_cfg, "pallas_gather", False),
+        return_adjacency=collect_adjacency)
     def put(b):
         if "image_row" in b:
             b = pack_index_batch(b)

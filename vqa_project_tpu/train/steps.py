@@ -385,6 +385,12 @@ def build_eval_step(model, mesh,
             batch, image_fn, cache, n_answers)
         logits, adjacency, _ = model.apply(
             params, question, image, qlen, train=False)
+        # the last column is the answer-vocab pad slot (datasets.py:
+        # n_answers = len(a_itow) + 1): it has no word, is never a
+        # label, and an untrained/imported checkpoint whose argmax
+        # lands there would KeyError the a_itow lookup in evaluate()
+        # — mask it like serve.py does
+        logits = logits.at[:, -1].set(-jnp.inf)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         score = score_fn(logits, batch["mask"])
         if not return_adjacency:
@@ -586,6 +592,8 @@ def build_eval_epoch(model, mesh,
                 batch, image_fn, cache, n_answers)
             logits, _, _ = model.apply(
                 params, question, image, qlen, train=False)
+            # pad-slot mask: see build_eval_step
+            logits = logits.at[:, -1].set(-jnp.inf)
             preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return total + score_fn(logits, batch["mask"]), preds
 

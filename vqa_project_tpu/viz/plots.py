@@ -216,7 +216,9 @@ def plot_given_question(model, params, ds, question: str,
     image = jnp.asarray(ds.store.batch(t.image_row[idx:idx + 1]))
     qlen = jnp.asarray(t.qlen[idx:idx + 1])
     logits, adjacency, _ = model.apply(params, q, image, qlen)
-    pred = ds.a_itow[int(jax.numpy.argmax(logits[0]))]
+    # exclude the wordless answer-vocab pad slot (last column) before
+    # the a_itow lookup, mirroring build_eval_step/serve.py
+    pred = ds.a_itow[int(jax.numpy.argmax(logits[0][:-1]))]
     row = ds.vqa[idx]
     boxes = np.asarray(ds.store.boxes[t.image_row[idx]])
     raster = load_image(resolve_image_path(image_dir, row["image_id"]))
