@@ -244,6 +244,15 @@ def _ensure_synthetic_medical(sdir: str, knobs: dict, generate) -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("synthetic-medical-ready")
+        if not is_primary() and not os.path.exists(fp_path):
+            # same shared-FS contract as cli/run.py's VQA-v2 leg: rank 0
+            # generates, other ranks read the SAME directory
+            raise FileNotFoundError(
+                f"rank {os.environ.get('PROCESS_ID', '?')}: synthetic "
+                f"dataset absent at {sdir} after the generation barrier. "
+                "--data_dir must be a filesystem shared by all hosts; "
+                "host-local data dirs are not supported with --synthetic "
+                "on a pod.")
 
 
 def _load_datasets(args, dataset_name: str):

@@ -257,6 +257,18 @@ def _dataset(args, split):
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices("synthetic-data-ready")
+            if not is_primary() and not os.path.exists(fp_path):
+                # rank-0-only generation assumes --data_dir is a SHARED
+                # filesystem across hosts; on host-local dirs the files
+                # simply never appear on non-primary ranks — fail with
+                # the actual cause instead of a missing-zarr traceback
+                raise FileNotFoundError(
+                    f"rank {os.environ.get('PROCESS_ID', '?')}: synthetic "
+                    f"dataset absent at {sdir} after the generation "
+                    "barrier. --data_dir must be a filesystem shared by "
+                    "all hosts (rank 0 generates, other ranks read); "
+                    "host-local data dirs are not supported with "
+                    "--synthetic on a pod.")
         return GraphVQADataset.vqa2(sdir, split, args.emb, args.n_obj)
     return GraphVQADataset.vqa2(args.data_dir, split, args.emb, args.n_obj)
 

@@ -59,12 +59,14 @@ def _read_sizes_csv(path: str) -> Dict[str, np.ndarray]:
 
 
 def _dir_fingerprint(path: str) -> str:
-    """Cheap change-detector for a zarr group dir (or a plain file).
+    """Change-detector for a zarr group dir (or a plain file).
 
-    Entry count + dir mtime catch added/removed/renamed members;
-    sampled member stats (first/middle/last sorted entries, plus one
-    chunk file inside each) catch in-place rewrites — ZarrWriter
-    truncate-overwrites chunk files, which never touches the dir mtime.
+    Hashes EVERY member's name/size/mtime plus the stat of its "0.0"
+    chunk file — ZarrWriter truncate-overwrites chunk files, which never
+    touches the parent dir's mtime, and a partial in-place regeneration
+    at unchanged sizes would slip past a sampled check. A 123k-entry
+    listdir + stat sweep is a few seconds, vs minutes to repack the
+    memmap (and silent staleness if skipped wrongly).
     """
     if not os.path.exists(path):
         return f"missing:{path}"
@@ -72,19 +74,18 @@ def _dir_fingerprint(path: str) -> str:
     if os.path.isfile(path):
         return f"f:{st.st_size}:{st.st_mtime_ns}"
     names = sorted(os.listdir(path))
-    parts = [f"d:{len(names)}:{st.st_mtime_ns}"]
-    for idx in {0, len(names) // 2, len(names) - 1}:
-        if not names:
-            break
-        name = names[idx]
+    h = hashlib.md5()
+    for name in names:
         p = os.path.join(path, name)
         s = os.stat(p)
-        parts.append(f"{name}:{s.st_size}:{s.st_mtime_ns}")
+        h.update(f"{name}:{s.st_size}:{s.st_mtime_ns};".encode())
         chunk = os.path.join(p, "0.0")
-        if os.path.isfile(chunk):
+        try:
             cs = os.stat(chunk)
-            parts.append(f"{cs.st_size}:{cs.st_mtime_ns}")
-    return ";".join(parts)
+            h.update(f"{cs.st_size}:{cs.st_mtime_ns};".encode())
+        except OSError:
+            pass
+    return f"d:{len(names)}:{h.hexdigest()}"
 
 
 class FeatureStore:

@@ -557,7 +557,10 @@ def evaluate(
     """
     if mesh is None:
         mesh = make_mesh(num_devices, data_axis)
-    n_chips = mesh.devices.size
+    # eval batches shard over the data axis only (a 2-D tp mesh keeps its
+    # model axis replicated for the batch), so divisibility is against the
+    # data extent — same rule fit() applies at its own check
+    n_chips = dict(mesh.shape).get(data_axis, mesh.devices.size)
     if batch_size % max(n_chips, 1):
         # same operator-facing message as fit(): a non-divisible batch
         # otherwise dies deep inside device_put with an opaque

@@ -162,8 +162,13 @@ def save_checkpoint(path: str, state: TrainState, *,
 
     blob = flax.serialization.msgpack_serialize(
         jax.tree.map(to_np, _to_pure(payload)))
-    with open(path, "wb") as f:
+    # tmp + os.replace: mid-epoch preemption resume overwrites the same
+    # {name}_{ep+1}.ckpt repeatedly — a preemption mid-write (the exact
+    # scenario resume targets) must not corrupt the newest checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
     return path
 
 
