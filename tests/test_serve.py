@@ -130,9 +130,14 @@ def test_http_roundtrip(served):
         out = json.loads(resp.read())
         assert out["answer"] in ds.a_itow.values()
 
+        # keep-alive (HTTP/1.1): every body must be read before the
+        # connection can carry the next request — and the requests
+        # below REUSING one connection is itself the keep-alive test
         conn.request("POST", "/predict", body=json.dumps(
             {"question": "no image"}))
-        assert conn.getresponse().status == 400
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
 
         conn.request("POST", "/predict", body=json.dumps(
             {"question": "q", "features": [[0.0] * 24] * 8}))
@@ -141,7 +146,9 @@ def test_http_roundtrip(served):
         assert "boxes" in json.loads(resp.read())["error"]
 
         conn.request("GET", "/nope")
-        assert conn.getresponse().status == 404
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
     finally:
         httpd.shutdown()
 

@@ -245,6 +245,13 @@ def make_http_server(server: InferenceServer, port: int = 0,
     (read it from .server_address)."""
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 => persistent connections: stdlib defaults to 1.0,
+        # which closes the socket after every response and caps the
+        # front-end at connection-setup rate (~2.4x slower measured,
+        # tools/serve_loadtest.py). Safe because _json always sends
+        # Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -292,4 +299,10 @@ def make_http_server(server: InferenceServer, port: int = 0,
             except Exception as e:  # forward/runtime failure -> 500
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5: a burst of >5 simultaneous
+        # connects (e.g. a replica coming back into a load balancer)
+        # gets TCP resets. 128 is the usual somaxconn-bounded value.
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
