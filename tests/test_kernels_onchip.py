@@ -34,34 +34,35 @@ from vqa_project_tpu.ops.pallas import (
     fused_edge_aggregate,
 )
 
-N_KERN, D = 4, 64
-
-
-def _inputs(rng, b, k):
+def _inputs(rng, b, k, n_kern, d):
     adj = rng.normal(size=(b, k, k)).astype(np.float32)
     pseudo = np.stack(
         [rng.uniform(0, 1.5, size=(b, k, k)),
          rng.uniform(-np.pi, np.pi, size=(b, k, k))], axis=-1
     ).astype(np.float32)
-    proj = rng.normal(size=(b, k, N_KERN * D)).astype(np.float32)
+    proj = rng.normal(size=(b, k, n_kern * d)).astype(np.float32)
     gparams = np.stack([
-        rng.uniform(0, 1, N_KERN),
-        rng.uniform(-np.pi, np.pi, N_KERN),
-        rng.uniform(0.1, 1, N_KERN),
-        rng.uniform(0.1, 1, N_KERN),
+        rng.uniform(0, 1, n_kern),
+        rng.uniform(-np.pi, np.pi, n_kern),
+        rng.uniform(0.1, 1, n_kern),
+        rng.uniform(0.1, 1, n_kern),
     ]).astype(np.float32)
     return tuple(map(jnp.asarray, (adj, pseudo, proj, gparams)))
 
 
 # K=36: VQA v2 production (run.py:513); K=51: ImageCLEF/medical n_obj.
 # m matches the harness defaults (neighbourhood 16 / 19).
+# Widths: (4, 64) nd=256 is the historical regression shape; (8, 128)
+# nd=1024 is the PRODUCTION width (hid 1024, 8 kernels, run.py:503-531)
+# — round-5 closure of "on-chip oracles only ran at toy width".
 @pytest.mark.parametrize("k,m", [(36, 16), (51, 19)])
-def test_f32_dot_precision_fwd_and_grads(k, m):
+@pytest.mark.parametrize("n_kern,d", [(4, 64), (8, 128)])
+def test_f32_dot_precision_fwd_and_grads(k, m, n_kern, d):
     """Fused-kernel forward within 2e-5 of the XLA reference in f32 —
     the single-bf16-pass regression measured 3e-3, 150x the gate — and
     all four input gradients tight too."""
-    rng = np.random.default_rng(1234 + k)
-    adj, pseudo, proj, gparams = _inputs(rng, 8, k)
+    rng = np.random.default_rng(1234 + k + 17 * n_kern)
+    adj, pseudo, proj, gparams = _inputs(rng, 8, k, n_kern, d)
     got = np.asarray(fused_edge_aggregate(
         adj, pseudo, proj, gparams, m, True, True))
     want = np.asarray(edge_aggregate_reference(
