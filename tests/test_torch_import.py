@@ -405,3 +405,33 @@ def test_export_cli_from_framework_checkpoint(tmp_path):
         np.testing.assert_allclose(np.asarray(got[k]),
                                    np.asarray(want[k]),
                                    rtol=0, atol=1e-7, err_msg=k)
+
+
+def test_load_checkpoint_sniffs_torch_pt(tmp_path, rng):
+    """The generic checkpoint loader accepts a reference .pt directly
+    (day-1 smoke path: run.py --eval/--test, plot, serve all consume
+    the published pretrained checkpoint without conversion)."""
+    from tests.test_model import CFG, make_batch
+    from vqa_project_tpu.train.state import is_torch_file, load_checkpoint
+
+    sd = _make_torch_state_dict(CFG)
+    pt = str(tmp_path / "vqa_36_8_16_66.20.pt")
+    torch.save(sd, pt)
+    assert is_torch_file(pt)
+
+    payload, none_state = load_checkpoint(pt)
+    assert none_state is None
+    model = GraphVQAModel(cfg=CFG)
+    q, image, qlen = make_batch(rng)
+    logits, _, _ = model.apply(payload["params"], q, image, qlen)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # restore_params (the cli consumers' path) round-trips it too
+    from vqa_project_tpu.cli.run import restore_params
+
+    class _DS:  # minimal dataset stub for template init
+        max_qlen, n_obj, feat_dim = CFG.max_qlen, CFG.n_obj, CFG.feat_dim
+
+    params = restore_params(model, _DS, payload)
+    logits2, _, _ = model.apply(params, q, image, qlen)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits2))

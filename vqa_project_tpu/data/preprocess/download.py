@@ -39,10 +39,19 @@ URLS = {
 
 
 def fetch(url: str, dest_dir: str, unzip: bool = True):
+    """Resumable fetch: download to <name>.part with wget -c (an
+    interrupted multi-GB feature TSV resumes instead of restarting),
+    verify zip integrity, then atomically rename — so a completed
+    `name` on disk is always a whole, tested file and re-running the
+    downloader after any crash just continues."""
     os.makedirs(dest_dir, exist_ok=True)
     name = os.path.join(dest_dir, url.rsplit("/", 1)[1])
     if not os.path.exists(name):
-        subprocess.run(["wget", "-q", "-O", name, url], check=True)
+        part = name + ".part"
+        subprocess.run(["wget", "-q", "-c", "-O", part, url], check=True)
+        if part.endswith(".zip.part"):
+            subprocess.run(["unzip", "-t", "-q", part], check=True)
+        os.replace(part, name)
     if unzip and name.endswith(".zip"):
         subprocess.run(["unzip", "-o", "-q", name, "-d", dest_dir],
                        check=True)

@@ -424,14 +424,11 @@ def fit(
 
 
 def _is_torch_file(path: str) -> bool:
-    """Sniff torch.save output: zip archives start with PK, legacy
-    pickles with the 0x80 PROTO opcode + a small protocol byte. Our own
-    msgpack checkpoints start with a fixmap whose second byte is a key
-    string marker (>= 0xa0), so the two never collide in practice."""
-    with open(path, "rb") as f:
-        head = f.read(2)
-    return head[:2] == b"PK" or (len(head) == 2 and head[0] == 0x80
-                                 and head[1] < 0x08)
+    """Delegates to state.is_torch_file (single sniffing rule; see its
+    docstring). Kept as a module alias for existing call sites."""
+    from vqa_project_tpu.train.state import is_torch_file
+
+    return is_torch_file(path)
 
 
 def _resume_checkpoint(path: str, state: TrainState

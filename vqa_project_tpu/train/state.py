@@ -172,10 +172,45 @@ def save_checkpoint(path: str, state: TrainState, *,
     return path
 
 
+def is_torch_file(path: str) -> bool:
+    """Sniff torch.save output: zip archives start with PK, legacy
+    pickles with the 0x80 PROTO opcode + a small protocol byte. Our own
+    msgpack checkpoints start with a fixmap whose second byte is a key
+    string marker (>= 0xa0), so the two never collide in practice."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    return head[:2] == b"PK" or (len(head) == 2 and head[0] == 0x80
+                                 and head[1] < 0x08)
+
+
 def load_checkpoint(path: str, state: Optional[TrainState] = None
                     ) -> Tuple[dict, Optional[TrainState]]:
     """Load a checkpoint; if a template TrainState is given, restore into
-    it (shape-checked) and return (payload, new_state)."""
+    it (shape-checked) and return (payload, new_state).
+
+    Reference torch .pt files (both on-disk formats, utils.py:34-44 and
+    run.py:176-181) are detected by sniffing and imported via
+    models/torch_import — so every checkpoint consumer (--eval/--test,
+    plot, serve) accepts the reference's published checkpoints directly,
+    not just fit's resume path. Torch payloads carry params (+ epoch for
+    the full-dict format) but no optax state; resuming TRAINING from a
+    .pt goes through fit's _resume_checkpoint, which also splices the
+    Adam moments."""
+    if is_torch_file(path):
+        from vqa_project_tpu.models.torch_import import \
+            load_torch_checkpoint
+
+        # load_torch_checkpoint returns the tree aligned with
+        # state.params (variables dict, 'params' collection included);
+        # wrap it under the same "params" payload key msgpack uses
+        payload = {"params": load_torch_checkpoint(path)}
+        new_state = None
+        if state is not None:
+            params = jax.tree.map(
+                lambda t, p: jnp.asarray(p, t.dtype),
+                state.params, payload["params"])
+            new_state = state.replace(params=params)
+        return payload, new_state
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     _migrate_conv_kernels(payload)
