@@ -75,14 +75,18 @@ def _make_rtt_probe():
     return probe
 
 
-def _window_stats(step_ts, enqueue_s, drain_s, rtt_ms):
+def _window_stats(step_ts, enqueue_s, drain_s, rtt_ms,
+                  device_step_ms=None):
     """Per-window diagnostics for the bimodality analysis (VERDICT r3
     item 3): where did the time go — steady per-step host/backpressure
     (median_step), isolated step stalls (>3x the window median), or the
-    final sync drain; rtt_ms timestamps the tunnel's latency mode."""
+    final sync drain; rtt_ms timestamps the tunnel's latency mode.
+    device_step_ms (VERDICT r4 item 3) is the ON-DEVICE per-step time
+    from the single-dispatch scan probe — flat device time across a
+    bimodal run pins the slow mode on the tunnel, not the chip."""
     med = float(np.median(step_ts)) if step_ts else 0.0
     stalls = [t for t in step_ts if med and t > 3 * med]
-    return {
+    s = {
         "total_s": round(enqueue_s + drain_s, 3),
         "enqueue_s": round(enqueue_s, 3),
         "drain_s": round(drain_s, 3),
@@ -91,6 +95,9 @@ def _window_stats(step_ts, enqueue_s, drain_s, rtt_ms):
         "stall_s": round(sum(stalls) - med * len(stalls), 3),
         "rtt_ms": round(rtt_ms, 1),
     }
+    if device_step_ms is not None:
+        s["device_step_ms"] = round(device_step_ms, 2)
+    return s
 
 
 def classify_windows(stats):
@@ -127,8 +134,44 @@ def classify_windows(stats):
         parts.append(f"tunnel RTT {rtt_ratio:.1f}x higher in slow windows")
     elif rtt_ratio < 1.2 and parts:
         parts.append("tunnel RTT unchanged")
+    # the decisive bit (VERDICT r4 item 3): on-device step time from the
+    # scan probe. Flat across modes -> the chip is innocent, the slow
+    # mode lives in tunnel completion; grown -> a real device slowdown
+    # that real (untunneled) hardware would inherit.
+    dev_b = best_stat.get("device_step_ms")
+    dev_slow = [s["device_step_ms"] for s in slow
+                if s.get("device_step_ms")]
+    if dev_b and dev_slow:
+        dev_ratio = mean(dev_slow) / dev_b
+        if dev_ratio < 1.03:
+            parts.append(
+                f"device-flat ({dev_b:.2f} vs {mean(dev_slow):.2f} "
+                "ms/step on-device) -> slow mode is tunnel-side")
+        else:
+            parts.append(
+                f"device-side: on-device step {dev_ratio:.2f}x slower "
+                f"({dev_b:.2f} -> {mean(dev_slow):.2f} ms)")
     return occ, (f"slow mode +{100 * excess / best:.0f}%: "
                  + ("; ".join(parts) or "mixed attribution"))
+
+
+def _hbm_stats():
+    """Device memory stats (HBM high-water) if the backend exposes them
+    — the evidence behind 'the 9.2 GB int8 table fits one chip'."""
+    import jax
+
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return None
+    peak = ms.get("peak_bytes_in_use")
+    if not peak:
+        return None
+    return {
+        "peak_gb": round(peak / 2**30, 2),
+        "in_use_gb": round(ms.get("bytes_in_use", 0) / 2**30, 2),
+        "limit_gb": round(ms.get("bytes_limit", 0) / 2**30, 2),
+    }
 
 
 def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
@@ -293,6 +336,52 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
             break
     _ = float(m["loss"])
 
+    # On-device step-time probe (VERDICT r4 item 3): lax.scan the SAME
+    # train step over device-resident stacked batches — ONE dispatch +
+    # one 4-byte fetch for the whole sub-window, so its wall time is
+    # on-device execution (+1 RTT, constant), independent of per-step
+    # tunnel completion. Per timing window it yields device_step_ms;
+    # classify_windows compares it across fast/slow windows to name the
+    # slow mode device- or tunnel-side. BENCH_DEVICE_PROBE=0 disables.
+    device_probe, probe_steps = None, 0
+    if (mode == "train" and getattr(train_step, "raw_step", None)
+            and cache is not None
+            and type(cache).__name__ != "ShardedFeatureCache"
+            and os.environ.get("BENCH_DEVICE_PROBE", "1") == "1"):
+        from vqa_project_tpu.train.steps import _EPOCH_KEYS, \
+            stack_epoch_batches
+
+        probe_batches = []
+        for b in Batcher(ds, bsize, shuffle=True, drop_last=True,
+                         materialize=False, **_locality_kwargs(cache, ds)):
+            probe_batches.append(b)
+            if len(probe_batches) >= min(target_steps, 64):
+                break
+        arrays, probe_steps = stack_epoch_batches(
+            probe_batches, mesh,
+            keys=_EPOCH_KEYS + ("ans_idx", "ans_score"))
+        raw = train_step.raw_step
+
+        def _scan_window(st, epoch, cache_arrays):
+            def body(s, batch):
+                s, metrics = raw(s, batch, cache_arrays)
+                return s, metrics["loss"]
+
+            st, losses = jax.lax.scan(body, st, epoch)
+            return st, losses[-1]
+
+        jit_window = jax.jit(_scan_window, donate_argnums=(0,))
+
+        def device_probe(st):
+            t0 = time.perf_counter()
+            st, loss = jit_window(st, arrays, train_step.cache_arrays)
+            _ = float(loss)  # fetch = true completion through the tunnel
+            return st, (time.perf_counter() - t0) * 1e3 / probe_steps
+        t0 = time.perf_counter()
+        state, _ms = device_probe(state)  # compile outside the windows
+        print(f"  device probe: {probe_steps}-step scan compiled+run in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
     # timed: full epochs end-to-end (host assembly + H2D + step); best of
     # BENCH_REPS windows — the tunneled host shows ~8% run-to-run noise
     # and the best window is the honest steady-state number; the
@@ -321,7 +410,11 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
         _ = float(m["loss"])
         dt = time.perf_counter() - t0
         windows.append(dt)
-        s = _window_stats(step_ts, enqueue_s, dt - enqueue_s, rtt_ms)
+        dev_ms = None
+        if device_probe is not None:
+            state, dev_ms = device_probe(state)
+        s = _window_stats(step_ts, enqueue_s, dt - enqueue_s, rtt_ms,
+                          dev_ms)
         win_stats.append(s)
         print(f"  window: {s}", file=sys.stderr)
     dt = min(windows)
@@ -330,6 +423,11 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
     qa_per_sec = target_steps * bsize / dt
     cache_kind = ("sharded" if type(cache).__name__ == "ShardedFeatureCache"
                   else "device" if cache is not None else "host")
+    hbm = _hbm_stats()
+    if hbm:
+        print(f"  hbm: peak={hbm['peak_gb']:.2f} GB "
+              f"in_use={hbm['in_use_gb']:.2f} GB "
+              f"limit={hbm['limit_gb']:.2f} GB", file=sys.stderr)
     print(f"steps={target_steps} bsize={bsize} chips={n_chips} "
           f"cache={cache_kind} images={n_images} "
           f"time={dt:.3f}s (+{spread_pct:.1f}% spread) "
@@ -413,12 +511,18 @@ def main():
         n_questions)
 
     extra = {}
+    hbm = _hbm_stats()  # peak reflects the headline table (runs first)
+    if hbm:
+        extra["hbm_peak_gb"] = hbm["peak_gb"]
     if win_stats is not None:
         occupancy, diagnosis = classify_windows(win_stats)
         extra.update(
             windows_s=[s["total_s"] for s in win_stats],
             mode_occupancy_fast=round(occupancy, 2),
             variance_diagnosis=diagnosis)
+        if any("device_step_ms" in s for s in win_stats):
+            extra["device_step_ms"] = [s.get("device_step_ms")
+                                       for s in win_stats]
     small = os.environ.get("BENCH_SMALL", "1") == "1" and n_images != 96
     if small:
         small_chip, small_spread, _, _, _ = run_once(

@@ -60,3 +60,28 @@ def test_window_stats_stall_detection():
     assert s["n_stalls"] == 2
     assert 0.045 < s["stall_s"] < 0.052
     assert s["median_step_ms"] == 6.0
+
+
+def test_device_probe_flat_names_tunnel():
+    """Flat on-device step time across a bimodal run -> the slow mode
+    is tunnel-side completion (VERDICT r4 item 3)."""
+    fast = dict(_w(0.60, enqueue=0.55), device_step_ms=9.30)
+    slow = dict(_w(0.80, enqueue=0.56), device_step_ms=9.35)
+    occ, diag = classify_windows([fast, slow])
+    assert "device-flat" in diag and "tunnel-side" in diag
+
+
+def test_device_probe_grown_names_device():
+    fast = dict(_w(0.60, enqueue=0.55), device_step_ms=9.30)
+    slow = dict(_w(0.80, enqueue=0.56), device_step_ms=11.90)
+    occ, diag = classify_windows([fast, slow])
+    assert "device-side" in diag and "1.28x" in diag
+
+
+def test_window_stats_device_field():
+    s = _window_stats([0.006] * 4, enqueue_s=0.024, drain_s=0.01,
+                      rtt_ms=20.0, device_step_ms=9.314)
+    assert s["device_step_ms"] == 9.31
+    s2 = _window_stats([0.006] * 4, enqueue_s=0.024, drain_s=0.01,
+                       rtt_ms=20.0)
+    assert "device_step_ms" not in s2

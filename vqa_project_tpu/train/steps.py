@@ -361,8 +361,11 @@ def build_train_step(model, tx, mesh,
     def wrapper(state, batch):
         return jit_step(state, batch, cache_arrays)
 
-    # exposed for tooling (tools/step_costs.py: AOT lower + cost_analysis)
+    # exposed for tooling (tools/step_costs.py: AOT lower + cost_analysis;
+    # bench.py device probe: raw_step is the unjitted (state, batch,
+    # cache) body, scannable for a single-dispatch multi-step window)
     wrapper.jit_step = jit_step
+    wrapper.raw_step = step
     wrapper.cache_arrays = cache_arrays
     return wrapper
 
@@ -533,13 +536,18 @@ _EPOCH_KEYS = ("question", "image_row", "qlen", "vote_idx", "vote_val",
                "mask")
 
 
-def stack_epoch_batches(batches, mesh, data_axis: Optional[str] = None):
+def stack_epoch_batches(batches, mesh, data_axis: Optional[str] = None,
+                        keys: Optional[tuple] = None):
     """Stack index-mode batch dicts into (S, B, ...) device arrays.
 
     One device_put for the whole eval epoch (vs one H2D per step): the
     tunnel's per-transfer latency is what bounds the classic eval loop
     once the step itself is ~2 ms. Batch axis 1 is sharded over the
     mesh's data axis; the step axis is unsharded (the scan walks it).
+
+    keys defaults to the eval-scan set (_EPOCH_KEYS); the bench device
+    probe passes + ("ans_idx", "ans_score") so the TRAIN step can scan
+    the same way (densify_labels needs the sparse label fields).
 
     Returns (epoch_arrays, n_steps).
     """
@@ -551,7 +559,8 @@ def stack_epoch_batches(batches, mesh, data_axis: Optional[str] = None):
         "resident eval needs index-mode batches (device feature cache)"
     from vqa_project_tpu.parallel.mesh import put_named
 
-    stacked = {k: np.stack([b[k] for b in batches]) for k in _EPOCH_KEYS}
+    stacked = {k: np.stack([b[k] for b in batches])
+               for k in (keys or _EPOCH_KEYS)}
     sh = NamedSharding(mesh, P(None, data_axis or mesh.axis_names[0]))
     return ({k: put_named(v, sh) for k, v in stacked.items()},
             len(batches))
