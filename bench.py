@@ -361,25 +361,37 @@ def run_once(n_images: int, bsize: int, mode: str, cache_mode: str,
             probe_batches, mesh,
             keys=_EPOCH_KEYS + ("ans_idx", "ans_score"))
         raw = train_step.raw_step
+        # repeat the epoch inside the dispatch so the probe runs >= 64
+        # steps: the constant ~25 ms RTT then inflates device_step_ms
+        # by < ~5% (a 12-batch synthetic epoch alone would add ~2 ms/step)
+        n_repeat = max(1, -(-64 // probe_steps))
 
         def _scan_window(st, epoch, cache_arrays):
-            def body(s, batch):
-                s, metrics = raw(s, batch, cache_arrays)
-                return s, metrics["loss"]
+            def one_epoch(s, _):
+                def body(s, batch):
+                    s, metrics = raw(s, batch, cache_arrays)
+                    return s, metrics["loss"]
 
-            st, losses = jax.lax.scan(body, st, epoch)
+                s, losses = jax.lax.scan(body, s, epoch)
+                return s, losses[-1]
+
+            st, losses = jax.lax.scan(one_epoch, st, None,
+                                      length=n_repeat)
             return st, losses[-1]
 
         jit_window = jax.jit(_scan_window, donate_argnums=(0,))
+        total_probe_steps = probe_steps * n_repeat
 
         def device_probe(st):
             t0 = time.perf_counter()
             st, loss = jit_window(st, arrays, train_step.cache_arrays)
             _ = float(loss)  # fetch = true completion through the tunnel
-            return st, (time.perf_counter() - t0) * 1e3 / probe_steps
+            return st, ((time.perf_counter() - t0) * 1e3
+                        / total_probe_steps)
         t0 = time.perf_counter()
         state, _ms = device_probe(state)  # compile outside the windows
-        print(f"  device probe: {probe_steps}-step scan compiled+run in "
+        print(f"  device probe: {total_probe_steps}-step scan "
+              f"({probe_steps} x {n_repeat}) compiled+run in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # timed: full epochs end-to-end (host assembly + H2D + step); best of
