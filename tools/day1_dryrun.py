@@ -59,10 +59,13 @@ def manifest(root: str, names) -> None:
 
 def run(cmd, **kw) -> None:
     print("  $", " ".join(cmd), flush=True)
-    # always CPU: the dry run validates pipeline plumbing, and the
-    # session env's tunneled-TPU JAX_PLATFORMS value does not resolve
-    # in child processes
+    # always CPU, single device: the dry run validates pipeline
+    # plumbing; the session env's tunneled-TPU JAX_PLATFORMS value does
+    # not resolve in child processes, and an inherited
+    # xla_force_host_platform_device_count (tests/conftest.py sets 8)
+    # would make the tiny bsize-4 commands fail the divisibility check
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    env.pop("XLA_FLAGS", None)
     r = subprocess.run(cmd, cwd=REPO, env=env, **kw)
     if r.returncode:
         sys.exit(f"FAIL: {' '.join(cmd)} -> exit {r.returncode}")
