@@ -121,6 +121,9 @@ def test_http_roundtrip(served):
         conn.request("GET", "/healthz")
         health = json.loads(conn.getresponse().read())
         assert health["ok"] and health["batch_size"] == 4
+        # warmup is required to BLOCK in __init__ (fetch, not just
+        # dispatch) — by construction time it has a measured duration
+        assert health["warmup_s"] > 0
 
         iid = next(iter(ds.store.id_to_row))
         conn.request("POST", "/predict", body=json.dumps(

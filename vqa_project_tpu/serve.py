@@ -110,14 +110,31 @@ class InferenceServer:
         self._forward = jax.jit(forward)
         self._shapes = (t, k, fdim)
         # warm the executable before accepting work: the first real
-        # request must not pay the XLA compile inside its latency
+        # request must not pay the XLA compile inside its latency.
+        # The warmup must FETCH a value, not just dispatch: on remote
+        # backends (axon tunnel) the jit call returns before the remote
+        # compile/execution completes, so a dispatch-only warmup reports
+        # the server ready while the first real batch then blocks for
+        # the full cold compile (minutes on a cold Mosaic path) inside
+        # the worker — and every request in that window dies with an
+        # opaque 60 s TimeoutError instead of waiting for warmth.
+        import sys as _sys
+        import time as _time
+
         import numpy as _np
 
-        self._forward(params,
-                      self._put(_np.zeros((self.batch_size, t), _np.int32)),
-                      self._put(_np.zeros((self.batch_size, k, fdim),
-                                          _np.float32)),
-                      self._put(_np.ones((self.batch_size,), _np.int32)))
+        _t0 = _time.monotonic()
+        _vals, _ = self._forward(
+            params,
+            self._put(_np.zeros((self.batch_size, t), _np.int32)),
+            self._put(_np.zeros((self.batch_size, k, fdim),
+                                _np.float32)),
+            self._put(_np.ones((self.batch_size,), _np.int32)))
+        _np.asarray(_vals)  # blocks until the executable truly ran
+        self.warmup_s = _time.monotonic() - _t0
+        if self.warmup_s > 5:
+            print(f"forward warm after {self.warmup_s:.0f}s (cold "
+                  f"compile; cached for next start)", file=_sys.stderr)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -269,7 +286,8 @@ def make_http_server(server: InferenceServer, port: int = 0,
                     "ok": True,
                     "requests_served": server.requests_served,
                     "batches_served": server.batches_served,
-                    "batch_size": server.batch_size})
+                    "batch_size": server.batch_size,
+                    "warmup_s": round(server.warmup_s, 3)})
             else:
                 self._json(404, {"error": "unknown path"})
 
