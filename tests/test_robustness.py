@@ -243,3 +243,23 @@ def test_synthetic_rejects_too_few_answers():
                                n_answers=12, n_classes=7)
     # knob validation runs BEFORE any filesystem writes
     assert not os.path.exists(target)
+
+
+def test_cli_help_strings_format():
+    """Every CLI's --help must render: argparse interpolates help text
+    with `% params`, so an unescaped `%` in a help string (e.g. the
+    int8 table's "~0.4% input error") crashes help formatting — and
+    with it the reference-parity bare `python run.py` -> print help
+    path (reference run.py:569-570)."""
+    import contextlib
+    import io
+
+    from vqa_project_tpu.cli import medical, plot, run, serve
+
+    for parse in (run.input_args, medical.medical_input_args,
+                  plot.input_args, serve.input_args):
+        parser_help = io.StringIO()
+        with contextlib.redirect_stdout(parser_help), \
+                pytest.raises(SystemExit):
+            parse(["--help"])
+        assert "usage" in parser_help.getvalue()

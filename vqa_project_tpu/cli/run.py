@@ -108,7 +108,7 @@ def input_args(argv=None):
                              "auto follows --compute_dtype (bfloat16 "
                              "halves HBM + gather traffic at identical "
                              "model inputs — boxes stay float32); int8 "
-                             "row-quantizes the table (~0.4% input "
+                             "row-quantizes the table (~0.4%% input "
                              "error) so the full 123k-image VQA v2 "
                              "table fits one chip")
     parser.add_argument("--pallas", action="store_true",
