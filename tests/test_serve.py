@@ -152,6 +152,23 @@ def test_http_roundtrip(served):
         resp = conn.getresponse()
         assert resp.status == 404
         resp.read()
+
+        # POST with a body to an unknown path: the handler must DRAIN
+        # the body before responding 404 — an unread body under
+        # HTTP/1.1 keep-alive is parsed as the next request line,
+        # desyncing the connection so the next legitimate request on
+        # it gets a bogus 400
+        conn.request("POST", "/predict/v2", body=json.dumps(
+            {"question": "typo'd path", "image_id": "x"}))
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        iid2 = next(iter(ds.store.id_to_row))
+        conn.request("POST", "/predict", body=json.dumps(
+            {"question": "still in sync", "image_id": iid2}))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
     finally:
         httpd.shutdown()
 

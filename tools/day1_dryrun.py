@@ -66,7 +66,8 @@ def run(cmd, **kw) -> None:
     # would make the tiny bsize-4 commands fail the divisibility check
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
     env.pop("XLA_FLAGS", None)
-    r = subprocess.run(cmd, cwd=REPO, env=env, **kw)
+    kw.setdefault("cwd", REPO)
+    r = subprocess.run(cmd, env=env, **kw)
     if r.returncode:
         sys.exit(f"FAIL: {' '.join(cmd)} -> exit {r.returncode}")
 
@@ -101,14 +102,18 @@ def main() -> None:
                 os.path.join(work, "vqa_val_final_3000.json"))
 
     banner("stage 2: image preprocess (RUNBOOK step 3)")
-    run([sys.executable, "-c",
-         "import sys; "
-         "from vqa_project_tpu.data.preprocess.image_features "
-         "import features_to_zarr; "
-         f"features_to_zarr('trainval', infiles=[sys.argv[1]], "
-         f"out_dir={work!r})",
-         os.path.join(FIXTURE,
-                      "trainval_resnet101_faster_rcnn_genome_36.tsv")])
+    # lay the fixture out exactly as the downloader does (<raw>/
+    # trainval_36/<published name>) and run the REAL CLI command from
+    # the RUNBOOK — a bypass via infiles= once masked a broken default
+    # TSV path in the documented command
+    raw = os.path.join(work, "raw", "trainval_36")
+    os.makedirs(raw, exist_ok=True)
+    shutil.copy(os.path.join(
+        FIXTURE, "trainval_resnet101_faster_rcnn_genome_36.tsv"), raw)
+    run([sys.executable, "-m",
+         "vqa_project_tpu.data.preprocess.image_features",
+         "--data", "trainval", "--raw_dir", os.path.join(work, "raw"),
+         "--out_dir", work])
     manifest(work, ["trainval.zarr", "trainval_boxes.zarr",
                     "trainval_image_size.csv"])
 
@@ -136,17 +141,19 @@ print(f'  pack ok: {{ds.n_questions}} questions, '
 
     banner("stage 5: eval -> result.json (RUNBOOK step 5)")
     result = os.path.join(work, "result.json")
-    run([sys.executable, "run.py", "--eval", "--data_dir", work,
+    # run.py --eval writes result.json into the CWD (reference parity)
+    # — run it with cwd=work so the dry run cannot clobber a REAL
+    # result.json sitting in the repo root from an actual RUNBOOK run
+    run([sys.executable, os.path.join(REPO, "run.py"), "--eval",
+         "--data_dir", work,
          "--save_dir", work, "--model_path",
          os.path.join(save, "day1_2.ckpt"), "--bsize", "4",
          "--hid", "64", "--n_kernels", "4", "--neighbourhood_size", "8",
          "--compute_dtype", "float32", "--no_pallas"],
-        )
-    # run.py --eval writes result.json into the CWD (reference parity);
+        cwd=work)
     # validate the EvalAI schema (run.py:100-113)
-    rows = json.load(open(os.path.join(REPO, "result.json")))
+    rows = json.load(open(result))
     assert rows and all(set(r) == {"question_id", "answer"} for r in rows)
-    shutil.move(os.path.join(REPO, "result.json"), result)
     print(f"  result.json: {len(rows)} rows, EvalAI schema ok")
 
     banner("stage 6: torch checkpoint round-trip (day-1 smoke machinery)")

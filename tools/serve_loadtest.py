@@ -50,7 +50,10 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.platform:
-        os.environ.setdefault("XLA_FLAGS", "")
+        # an inherited XLA_FLAGS (tests/conftest.py exports an 8-device
+        # --xla_force_host_platform_device_count) would change the
+        # device topology under the measurement — drop it
+        os.environ.pop("XLA_FLAGS", None)
         import jax
 
         jax.config.update("jax_platforms", args.platform)

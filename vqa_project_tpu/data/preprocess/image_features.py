@@ -26,18 +26,24 @@ FIELDNAMES = ["image_id", "image_w", "image_h",
               "num_boxes", "boxes", "features"]
 
 DEFAULT_TSVS = {
-    "trainval": ["raw/trainval_36/"
+    "trainval": ["trainval_36/"
                  "trainval_resnet101_faster_rcnn_genome_36.tsv"],
-    "test": ["raw/test2015_36/"
+    "test": ["test2015_36/"
              "test2015_resnet101_faster_rcnn_genome_36.tsv"],
 }
 
 
 def features_to_zarr(phase: str, infiles: List[str] = None,
-                     out_dir: str = ".") -> None:
-    infiles = infiles or DEFAULT_TSVS.get(phase)
-    if not infiles:
-        raise SystemExit("Unrecognised phase")
+                     out_dir: str = ".", raw_dir: str = "raw") -> None:
+    """infiles=None resolves the published TSV layout under raw_dir
+    (the downloader unzips into <data>/raw/ — reference
+    data/preprocess_image.py assumes a CWD-relative 'raw/'; taking
+    raw_dir explicitly lets the RUNBOOK commands run from anywhere)."""
+    if infiles is None:
+        names = DEFAULT_TSVS.get(phase)
+        if not names:
+            raise SystemExit("Unrecognised phase")
+        infiles = [os.path.join(raw_dir, n) for n in names]
 
     boxes = ZarrWriter(os.path.join(out_dir, f"{phase}_boxes.zarr"))
     features = ZarrWriter(os.path.join(out_dir, f"{phase}.zarr"))
@@ -72,12 +78,16 @@ def main(argv=None):
         description="Preprocessing for VQA v2 image data (TPU-native)")
     p.add_argument("--data", nargs="+", default=["trainval", "test"])
     p.add_argument("--out_dir", type=str, default=".")
+    p.add_argument("--raw_dir", type=str, default="raw",
+                   help="directory the downloader unzipped the TSV "
+                        "archives into (default: ./raw)")
     args, unparsed = p.parse_known_args(argv)
     if unparsed:
         raise SystemExit(f"Unknown argument: {unparsed}")
     for phase in args.data:
         print("Converting features tsv to zarr file...")
-        features_to_zarr(phase, out_dir=args.out_dir)
+        features_to_zarr(phase, out_dir=args.out_dir,
+                         raw_dir=args.raw_dir)
     print("Done")
 
 

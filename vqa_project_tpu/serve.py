@@ -292,12 +292,20 @@ def make_http_server(server: InferenceServer, port: int = 0,
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            # drain the body BEFORE any response: under HTTP/1.1
+            # keep-alive an unread body is parsed as the next request
+            # line, desyncing the connection (the next legitimate
+            # request on it would get a bogus 400)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                n = 0
+            body = self.rfile.read(n) if n > 0 else b""
             if self.path != "/predict":
                 self._json(404, {"error": "unknown path"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
+                payload = json.loads(body or b"{}")
                 kw = {}
                 if "features" in payload:
                     if "boxes" not in payload:

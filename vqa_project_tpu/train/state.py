@@ -164,11 +164,25 @@ def save_checkpoint(path: str, state: TrainState, *,
         jax.tree.map(to_np, _to_pure(payload)))
     # tmp + os.replace: mid-epoch preemption resume overwrites the same
     # {name}_{ep+1}.ckpt repeatedly — a preemption mid-write (the exact
-    # scenario resume targets) must not corrupt the newest checkpoint
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    # scenario resume targets) must not corrupt the newest checkpoint.
+    # The temp name must be unique PER CALL: two concurrent
+    # async_save_checkpoint calls for the same path would interleave
+    # writes into a shared path+'.tmp' and publish garbage.
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", suffix=".tmp",
+        dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return path
 
 
