@@ -11,8 +11,10 @@ Cost of the narrowing: the keep probability quantizes to 1/2^width
 (u8: |err| <= 2^-9 absolute — e.g. rate 0.4 keeps with p = 154/256
 = 0.6016 instead of 0.6). The inverted 1/(1-rate) scale still uses the
 EXACT configured rate, so kept activations are bit-identical to flax's;
-only the mask frequency carries the quantization. Enabled in the model
-via VQAX_DROPOUT_BITS=8|16 (default 32 -> stock flax path).
+only the mask frequency carries the quantization. The model reads
+VQAX_DROPOUT_BITS=8|16|32 with DEFAULT 8 (graph_vqa.py — the u8 draw is
+the shipped path, A/B'd on-chip); set 32 explicitly for the stock flax
+u32 Bernoulli draw.
 """
 
 from __future__ import annotations

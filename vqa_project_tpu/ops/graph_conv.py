@@ -89,7 +89,9 @@ def masked_graph_convolution(
       conv_kernels: (in_dim, out_dim) fused; column block n*d:(n+1)*d
                     is kernel n.
     Returns:
-      (B, K, out_dim) float32.
+      (B, K, out_dim) in compute_dtype (bf16 under the default policy —
+      unlike graph_convolution, which returns float32; the big
+      intermediates are deliberately stored narrow, see below).
     """
     b, k = features.shape[:2]
     n_kernels = edge_weights.shape[-1]

@@ -57,12 +57,14 @@ def multilabel_soft_margin_loss(
     return jnp.sum(per_sample) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def vqa_score(logits: jnp.ndarray, n_votes: jnp.ndarray) -> jnp.ndarray:
+def vqa_score(logits: jnp.ndarray, n_votes: jnp.ndarray,
+              sample_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Summed official VQA score of the argmax predictions.
 
     Args:
       logits:  (B, C).
       n_votes: (B, C) per-answer vote counts.
+      sample_mask: optional (B,) — padded rows contribute 0.
     Returns:
       scalar float32: sum over batch of min(votes[argmax]/3, 1).
     """
@@ -70,4 +72,7 @@ def vqa_score(logits: jnp.ndarray, n_votes: jnp.ndarray) -> jnp.ndarray:
     votes = jnp.take_along_axis(
         n_votes.astype(jnp.float32), pred[:, None], axis=-1
     )[:, 0]
-    return jnp.sum(jnp.minimum(votes / 3.0, 1.0))
+    score = jnp.minimum(votes / 3.0, 1.0)
+    if sample_mask is not None:
+        score = score * sample_mask
+    return jnp.sum(score)

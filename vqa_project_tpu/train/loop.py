@@ -373,9 +373,17 @@ def fit(
 
         def flush_window():
             nonlocal ep_loss, ep_score, ep_valid, window
-            losses = np.asarray([w["loss"] for w in window], np.float64)
-            scores = np.asarray([w["score"] for w in window], np.float64)
-            valid = np.asarray([w["valid"] for w in window], np.float64)
+            # ONE device_get for the whole window: per-scalar np.asarray
+            # would issue a blocking ~20 ms D2H per element (3x
+            # log_interval sequential round trips per flush on the
+            # tunneled backend); device_get starts every copy async and
+            # blocks once
+            import jax
+
+            fetched = jax.device_get(window)
+            losses = np.asarray([w["loss"] for w in fetched], np.float64)
+            scores = np.asarray([w["score"] for w in fetched], np.float64)
+            valid = np.asarray([w["valid"] for w in fetched], np.float64)
             ep_loss += float(losses.sum())
             ep_score += float(scores.sum())
             ep_valid += float(valid.sum())
@@ -657,7 +665,8 @@ def evaluate(
                     "answer": ds.a_itow[int(preds[i])],
                 })
         if collect_adjacency:
-            adj = np.asarray(adjacency)
+            # batch-sharded on a pod like preds: gather, don't fetch
+            adj = multihost.fetch_global(adjacency)
             idxs = host_batch["index"]
             for i in range(len(preds)):
                 if mask[i] > 0:

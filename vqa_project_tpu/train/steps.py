@@ -263,14 +263,11 @@ def _assemble_inputs(batch: Dict[str, jax.Array], image_fn, cache,
 
 
 def sparse_or_dense_score(logits, batch, mask=None):
-    """Dense-mode score helper (host mode carries dense votes)."""
-    pred = jnp.argmax(logits, axis=-1)
-    votes = batch["votes"].astype(jnp.float32)
-    picked = jnp.take_along_axis(votes, pred[:, None], axis=-1)[:, 0]
-    score = jnp.minimum(picked / 3.0, 1.0)
-    if mask is not None:
-        score = score * mask
-    return jnp.sum(score)
+    """Dense-mode score helper (host mode carries dense votes) —
+    delegates to the one canonical scoring op (ops/losses.py)."""
+    from vqa_project_tpu.ops.losses import vqa_score
+
+    return vqa_score(logits, batch["votes"], sample_mask=mask)
 
 
 def build_train_step(model, tx, mesh,
